@@ -1,0 +1,64 @@
+"""Core crypto: keygen, encryption, keyswitch, programmable bootstrap.
+
+TPU equivalent of tfhe/src/core_crypto/algorithms/ — free functions over the
+entity containers, with the server-side hot paths (keyswitch contraction,
+blind rotation) formulated as batched MXU contractions.
+"""
+
+from .secret import LweSecretKey, GlweSecretKey, glwe_phase, binary_ext_matrix
+from .encrypt import (
+    encrypt_lwe,
+    decrypt_lwe,
+    encrypt_glwe_assign,
+    decrypt_glwe,
+    trivial_lwe,
+)
+from .keygen import (
+    generate_binary_lwe_secret_key,
+    generate_binary_glwe_secret_key,
+    generate_bootstrap_key,
+    generate_keyswitch_key,
+    prepare_bsk,
+    prepare_ksk,
+    PreparedBsk,
+    PreparedKsk,
+)
+from .keyswitch import keyswitch
+from .pbs import (
+    modulus_switch,
+    blind_rotate,
+    sample_extract,
+    programmable_bootstrap,
+    keyswitch_then_pbs,
+    pbs_then_keyswitch,
+)
+from .lut import fill_accumulator, make_lut_glwe
+
+__all__ = [
+    "LweSecretKey",
+    "GlweSecretKey",
+    "glwe_phase",
+    "binary_ext_matrix",
+    "encrypt_lwe",
+    "decrypt_lwe",
+    "encrypt_glwe_assign",
+    "decrypt_glwe",
+    "trivial_lwe",
+    "generate_binary_lwe_secret_key",
+    "generate_binary_glwe_secret_key",
+    "generate_bootstrap_key",
+    "generate_keyswitch_key",
+    "prepare_bsk",
+    "prepare_ksk",
+    "PreparedBsk",
+    "PreparedKsk",
+    "keyswitch",
+    "modulus_switch",
+    "blind_rotate",
+    "sample_extract",
+    "programmable_bootstrap",
+    "keyswitch_then_pbs",
+    "pbs_then_keyswitch",
+    "fill_accumulator",
+    "make_lut_glwe",
+]
