@@ -1,0 +1,389 @@
+"""Shortint server key and operations.
+
+(ref: tfhe/src/shortint/server_key/mod.rs — ServerKey = {KSK, BSK,
+MessageModulus, CarryModulus, MaxDegree, MaxNoiseLevel, PBSOrder}; op files
+add.rs, sub.rs, neg.rs, mul.rs, div_mod.rs, bitwise_op.rs, shift.rs,
+comp_op.rs, scalar_*.rs, bivariate_pbs.rs.)
+
+The universal hot path is apply_lookup_table = keyswitch + programmable
+bootstrap (ref: mod.rs:783-857); here it is one jitted fused device call over
+a whole batch of blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import core
+from ..params import ClassicPBSParameters, PBSOrder
+from .ciphertext import CheckError, Ciphertext, ShortintBatch, NOMINAL_NOISE
+from .client_key import ClientKey
+
+_U64 = np.uint64
+
+
+@dataclass(frozen=True)
+class LookupTable:
+    """(ref: shortint/server_key/mod.rs LookupTableOwned)"""
+
+    acc: object  # jnp [G, N] uint64
+    degree: int
+
+
+@dataclass(frozen=True)
+class BivariateLookupTable:
+    acc: LookupTable
+    factor: int  # lhs is scaled by this before packing
+
+
+_ks_pbs_jit = jax.jit(core.keyswitch_then_pbs)
+_pbs_ks_jit = jax.jit(core.pbs_then_keyswitch)
+
+
+class ServerKey:
+    def __init__(self, cks: ClientKey):
+        p = cks.params
+        self.params = p
+        self.message_modulus = p.message_modulus
+        self.carry_modulus = p.carry_modulus
+        self.max_degree = p.total_modulus - 1
+        # allows one bivariate packing of fresh inputs: msg_mod * 1 + 1
+        self.max_noise_level = p.message_modulus + 1
+        self.delta = p.delta
+        bsk = core.generate_bootstrap_key(
+            cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
+            p.glwe_modular_std_dev, cks.enc_gen,
+        )
+        ksk = core.generate_keyswitch_key(
+            cks.big_sk, cks.lwe_sk, p.ks_base_log, p.ks_level,
+            p.lwe_modular_std_dev, cks.enc_gen,
+        )
+        self.bsk = core.prepare_bsk(bsk, p.pbs_base_log)
+        self.ksk = core.prepare_ksk(ksk, p.ks_base_log)
+        self._lut_cache: dict = {}
+        if p.encryption_key_choice.value == "big":
+            self.ciphertext_lwe_size = p.big_lwe_dimension + 1
+        else:
+            self.ciphertext_lwe_size = p.lwe_dimension + 1
+
+    # ------------------------------------------------------------------
+    # lookup tables
+    # ------------------------------------------------------------------
+
+    def generate_lookup_table(self, f: Callable[[int], int]) -> LookupTable:
+        """(ref: mod.rs:383-399 generate_lookup_table; engine/mod.rs:72-128)"""
+        p = self.params
+        table = tuple(int(f(i)) % (1 << 64) for i in range(p.total_modulus))
+        if table in self._lut_cache:
+            return self._lut_cache[table]
+        acc, degree = core.make_lut_glwe(
+            list(table), p.polynomial_size, p.glwe_size, p.total_modulus, p.delta
+        )
+        lut = LookupTable(acc=jnp.asarray(acc), degree=min(degree, self.max_degree))
+        self._lut_cache[table] = lut
+        return lut
+
+    def generate_lookup_table_bivariate_with_factor(
+        self, f: Callable[[int, int], int], factor: int
+    ) -> BivariateLookupTable:
+        """(ref: bivariate_pbs.rs:71-129) packed input = lhs*factor + rhs."""
+        msg = self.message_modulus
+
+        def wrapped(x):
+            return f((x // factor) % msg, (x % factor) % msg)
+
+        return BivariateLookupTable(
+            acc=self.generate_lookup_table(wrapped), factor=factor
+        )
+
+    def generate_lookup_table_bivariate(self, f) -> BivariateLookupTable:
+        return self.generate_lookup_table_bivariate_with_factor(
+            f, self.message_modulus
+        )
+
+    # ------------------------------------------------------------------
+    # batched primitives (TPU-native)
+    # ------------------------------------------------------------------
+
+    def _pbs(self, data: np.ndarray, acc) -> np.ndarray:
+        ct = jnp.asarray(data)
+        if self.params.pbs_order is PBSOrder.KEYSWITCH_BOOTSTRAP:
+            return np.asarray(_ks_pbs_jit(self.ksk, self.bsk, acc, ct))
+        return np.asarray(_pbs_ks_jit(self.ksk, self.bsk, acc, ct))
+
+    def apply_lookup_table_batch(self, batch: ShortintBatch,
+                                 lut: LookupTable) -> ShortintBatch:
+        out = self._pbs(batch.data, lut.acc)
+        return ShortintBatch(
+            data=out,
+            degrees=np.full(len(batch), lut.degree, dtype=np.int64),
+            message_modulus=batch.message_modulus,
+            carry_modulus=batch.carry_modulus,
+        )
+
+    def apply_many_lookup_tables_batch(self, batch: ShortintBatch,
+                                       luts: list[LookupTable],
+                                       selector: np.ndarray) -> ShortintBatch:
+        """Each element i evaluates luts[selector[i]] — one fused PBS call."""
+        accs = jnp.stack([l.acc for l in luts])[np.asarray(selector)]
+        out = self._pbs(batch.data, accs)
+        degs = np.array([luts[s].degree for s in selector], dtype=np.int64)
+        return ShortintBatch(
+            data=out, degrees=degs,
+            message_modulus=batch.message_modulus,
+            carry_modulus=batch.carry_modulus,
+        )
+
+    def unchecked_add_batch(self, a: ShortintBatch, b: ShortintBatch) -> ShortintBatch:
+        with np.errstate(over="ignore"):
+            return ShortintBatch(
+                data=a.data + b.data,
+                degrees=a.degrees + b.degrees,
+                message_modulus=a.message_modulus,
+                carry_modulus=a.carry_modulus,
+                noise=a.noise + b.noise,
+            )
+
+    def unchecked_scalar_add_batch(self, a: ShortintBatch, scalars) -> ShortintBatch:
+        scalars = np.broadcast_to(
+            np.asarray(scalars, dtype=np.int64), (len(a),)
+        )
+        out = a.data.copy()
+        with np.errstate(over="ignore"):
+            out[:, -1] += (scalars % (2 * self.params.total_modulus)).astype(
+                _U64
+            ) * _U64(self.delta)
+        return ShortintBatch(
+            data=out, degrees=a.degrees + scalars,
+            message_modulus=a.message_modulus, carry_modulus=a.carry_modulus,
+            noise=a.noise.copy(),
+        )
+
+    def unchecked_scalar_mul_batch(self, a: ShortintBatch, scalars) -> ShortintBatch:
+        scalars = np.broadcast_to(np.asarray(scalars, dtype=np.int64), (len(a),))
+        with np.errstate(over="ignore"):
+            return ShortintBatch(
+                data=a.data * scalars.astype(_U64)[:, None],
+                degrees=a.degrees * scalars,
+                message_modulus=a.message_modulus,
+                carry_modulus=a.carry_modulus,
+                noise=a.noise * scalars,
+            )
+
+    def unchecked_neg_batch(self, a: ShortintBatch):
+        """(ref: neg.rs:223-245) returns (result, correcting terms z)."""
+        msg = self.message_modulus
+        z = np.maximum(-(-a.degrees // msg), 1) * msg  # ceil(deg/msg)*msg, >= msg
+        with np.errstate(over="ignore"):
+            data = (_U64(0) - a.data)
+            data[:, -1] += z.astype(_U64) * _U64(self.delta)
+        return (
+            ShortintBatch(
+                data=data, degrees=z,
+                message_modulus=a.message_modulus,
+                carry_modulus=a.carry_modulus, noise=a.noise.copy(),
+            ),
+            z,
+        )
+
+    def unchecked_sub_batch(self, a: ShortintBatch, b: ShortintBatch):
+        nb, z = self.unchecked_neg_batch(b)
+        return self.unchecked_add_batch(a, nb), z
+
+    def unchecked_bivariate_batch(self, a: ShortintBatch, b: ShortintBatch,
+                                  blut: BivariateLookupTable) -> ShortintBatch:
+        """(ref: bivariate_pbs.rs:167-182) packed = a*factor + b, then LUT."""
+        assert int(b.degrees.max(initial=0)) < blut.factor, (
+            "bivariate rhs degree must be < packing factor"
+        )
+        packed = self.unchecked_add_batch(
+            self.unchecked_scalar_mul_batch(a, blut.factor), b
+        )
+        return self.apply_lookup_table_batch(packed, blut.acc)
+
+    def message_extract_batch(self, a: ShortintBatch) -> ShortintBatch:
+        lut = self.generate_lookup_table(lambda x: x % self.message_modulus)
+        return self.apply_lookup_table_batch(a, lut)
+
+    def carry_extract_batch(self, a: ShortintBatch) -> ShortintBatch:
+        lut = self.generate_lookup_table(lambda x: x // self.message_modulus)
+        return self.apply_lookup_table_batch(a, lut)
+
+    def trivial_batch(self, values, n: int) -> ShortintBatch:
+        p = self.params
+        values = np.asarray(values, dtype=_U64) % _U64(p.total_modulus)
+        data = core.trivial_lwe(values * _U64(p.delta), self.ciphertext_lwe_size - 1)
+        return ShortintBatch(
+            data=data.reshape(n, -1),
+            degrees=values.astype(np.int64),
+            message_modulus=p.message_modulus,
+            carry_modulus=p.carry_modulus,
+            noise=np.zeros(n, dtype=np.int64),
+        )
+
+    # ------------------------------------------------------------------
+    # degree / noise guards
+    # ------------------------------------------------------------------
+
+    def is_add_possible(self, a: Ciphertext, b: Ciphertext) -> bool:
+        return (a.degree + b.degree <= self.max_degree
+                and a.noise_level + b.noise_level <= self.max_noise_level)
+
+    def checked_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if not self.is_add_possible(a, b):
+            raise CheckError("degree or noise overflow in add")
+        return self.unchecked_add(a, b)
+
+    # ------------------------------------------------------------------
+    # scalar API (one-block ops over Ciphertext)
+    # ------------------------------------------------------------------
+
+    def _b1(self, ct: Ciphertext) -> ShortintBatch:
+        return ShortintBatch(
+            data=ct.data[None].copy(),
+            degrees=np.array([ct.degree]),
+            message_modulus=ct.message_modulus,
+            carry_modulus=ct.carry_modulus,
+            noise=np.array([ct.noise_level]),
+        )
+
+    def _c1(self, b: ShortintBatch, trivial: bool = False) -> Ciphertext:
+        return Ciphertext(
+            data=b.data[0], degree=int(b.degrees[0]),
+            message_modulus=b.message_modulus, carry_modulus=b.carry_modulus,
+            noise_level=int(b.noise[0]), is_trivial=trivial,
+        )
+
+    def create_trivial(self, value: int) -> Ciphertext:
+        return self._c1(self.trivial_batch(np.asarray([value]), 1), trivial=True)
+
+    def apply_lookup_table(self, ct: Ciphertext, lut_or_f) -> Ciphertext:
+        lut = (lut_or_f if isinstance(lut_or_f, LookupTable)
+               else self.generate_lookup_table(lut_or_f))
+        return self._c1(self.apply_lookup_table_batch(self._b1(ct), lut))
+
+    def unchecked_add(self, a, b):
+        return self._c1(self.unchecked_add_batch(self._b1(a), self._b1(b)))
+
+    def unchecked_sub(self, a, b):
+        out, _ = self.unchecked_sub_batch(self._b1(a), self._b1(b))
+        return self._c1(out)
+
+    def unchecked_neg(self, a):
+        out, _ = self.unchecked_neg_batch(self._b1(a))
+        return self._c1(out)
+
+    def unchecked_scalar_add(self, a, s: int):
+        return self._c1(self.unchecked_scalar_add_batch(self._b1(a), s))
+
+    def unchecked_scalar_mul(self, a, s: int):
+        return self._c1(self.unchecked_scalar_mul_batch(self._b1(a), s))
+
+    def unchecked_bivariate(self, a, b, f) -> Ciphertext:
+        blut = self.generate_lookup_table_bivariate(f)
+        return self._c1(
+            self.unchecked_bivariate_batch(self._b1(a), self._b1(b), blut)
+        )
+
+    def message_extract(self, a):
+        return self.apply_lookup_table(a, lambda x: x % self.message_modulus)
+
+    def carry_extract(self, a):
+        return self.apply_lookup_table(a, lambda x: x // self.message_modulus)
+
+    def _clean(self, ct: Ciphertext) -> Ciphertext:
+        """Refresh a block so its carry space is empty."""
+        if ct.carry_is_empty() and ct.noise_level <= NOMINAL_NOISE:
+            return ct
+        return self.message_extract(ct)
+
+    def _smart_bivariate(self, a, b, f) -> Ciphertext:
+        if a.degree >= self.message_modulus or a.noise_level > NOMINAL_NOISE:
+            a = self.message_extract(a)
+        if b.degree >= self.message_modulus or b.noise_level > NOMINAL_NOISE:
+            b = self.message_extract(b)
+        return self.unchecked_bivariate(a, b, f)
+
+    # the reference's op files (each is a LUT family):
+    def add(self, a, b):  # (ref: add.rs)
+        if not self.is_add_possible(a, b):
+            a, b = self._clean(a), self._clean(b)
+        out = self.unchecked_add(a, b)
+        return self.message_extract(out)
+
+    def sub(self, a, b):  # (ref: sub.rs)
+        if a.degree + ((b.degree // self.message_modulus + 1)
+                       * self.message_modulus) > self.max_degree:
+            a, b = self._clean(a), self._clean(b)
+        return self.message_extract(self.unchecked_sub(a, b))
+
+    def neg(self, a):  # (ref: neg.rs)
+        return self.message_extract(self.unchecked_neg(a))
+
+    def mul_lsb(self, a, b):  # (ref: mul.rs)
+        m = self.message_modulus
+        return self._smart_bivariate(a, b, lambda x, y: (x * y) % m)
+
+    def mul_msb(self, a, b):
+        m = self.message_modulus
+        return self._smart_bivariate(a, b, lambda x, y: (x * y) // m)
+
+    def div(self, a, b):  # (ref: div_mod.rs; division by zero yields msg-1)
+        m = self.message_modulus
+        return self._smart_bivariate(
+            a, b, lambda x, y: (x // y) % m if y != 0 else m - 1
+        )
+
+    def mod_(self, a, b):
+        m = self.message_modulus
+        return self._smart_bivariate(
+            a, b, lambda x, y: (x % y) % m if y != 0 else x % m
+        )
+
+    def bitand(self, a, b):  # (ref: bitwise_op.rs)
+        return self._smart_bivariate(a, b, lambda x, y: x & y)
+
+    def bitor(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: x | y)
+
+    def bitxor(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: x ^ y)
+
+    def scalar_left_shift(self, a, shift: int):  # (ref: shift.rs)
+        m = self.message_modulus
+        return self.apply_lookup_table(a, lambda x: ((x % m) << shift) % m)
+
+    def scalar_right_shift(self, a, shift: int):
+        m = self.message_modulus
+        return self.apply_lookup_table(a, lambda x: (x % m) >> shift)
+
+    # comparisons return 0/1 blocks (ref: comp_op.rs)
+    def eq(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x == y))
+
+    def ne(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x != y))
+
+    def lt(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x < y))
+
+    def le(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x <= y))
+
+    def gt(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x > y))
+
+    def ge(self, a, b):
+        return self._smart_bivariate(a, b, lambda x, y: int(x >= y))
+
+
+def gen_keys(params: ClassicPBSParameters, seed: Optional[int] = None):
+    """(ref: shortint/mod.rs:87 gen_keys)"""
+    cks = ClientKey(params, seed=seed)
+    sks = ServerKey(cks)
+    return cks, sks
