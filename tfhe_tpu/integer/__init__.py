@@ -1,0 +1,26 @@
+"""Radix big integers over shortint blocks (ref: tfhe/src/integer/)."""
+
+from typing import Optional
+
+from ..params import ClassicPBSParameters
+from ..shortint import ServerKey as ShortintServerKey, gen_keys as shortint_gen_keys
+from .ciphertext import BooleanBlock, RadixCiphertext
+from .client_key import RadixClientKey
+from .server_key import IntegerServerKey
+
+
+def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
+                   seed: Optional[int] = None):
+    """(ref: tfhe/src/integer/mod.rs:171 gen_keys_radix)"""
+    cks = RadixClientKey(params, num_blocks, seed=seed)
+    sks = IntegerServerKey(ShortintServerKey(cks.key))
+    return cks, sks
+
+
+__all__ = [
+    "RadixCiphertext",
+    "BooleanBlock",
+    "RadixClientKey",
+    "IntegerServerKey",
+    "gen_keys_radix",
+]

@@ -1,0 +1,551 @@
+"""Radix integer server key: batched-PBS formulations of the reference's
+rayon-parallel radix ops (ref: tfhe/src/integer/server_key/radix_parallel/).
+
+Parallelism mapping (SURVEY.md component #27): where the reference fans out
+rayon tasks over independent per-block PBS, every round here is ONE fused
+device call over all blocks; the reference's Hillis-Steele parallel-prefix
+carry propagation (radix_parallel/add.rs:572-603) becomes a log2(n)-round
+batched bivariate-PBS scan.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..shortint import ServerKey as ShortintServerKey
+from ..shortint.ciphertext import ShortintBatch
+from .ciphertext import BooleanBlock, RadixCiphertext
+
+_U64 = np.uint64
+
+
+def _concat(batches: Sequence[ShortintBatch]) -> ShortintBatch:
+    return ShortintBatch(
+        data=np.concatenate([b.data for b in batches], axis=0),
+        degrees=np.concatenate([b.degrees for b in batches]),
+        message_modulus=batches[0].message_modulus,
+        carry_modulus=batches[0].carry_modulus,
+        noise=np.concatenate([b.noise for b in batches]),
+    )
+
+
+def _slice(b: ShortintBatch, lo: int, hi: int) -> ShortintBatch:
+    return ShortintBatch(
+        data=b.data[lo:hi], degrees=b.degrees[lo:hi],
+        message_modulus=b.message_modulus, carry_modulus=b.carry_modulus,
+        noise=b.noise[lo:hi],
+    )
+
+
+class IntegerServerKey:
+    def __init__(self, key: ShortintServerKey):
+        self.key = key
+        self.message_modulus = key.message_modulus
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    @property
+    def _msg(self) -> int:
+        return self.message_modulus
+
+    def _zeros(self, n: int) -> ShortintBatch:
+        return self.key.trivial_batch(np.zeros(n, dtype=_U64), n)
+
+    def create_trivial_radix(self, value: int, num_blocks: int) -> RadixCiphertext:
+        msg = self._msg
+        value %= msg ** num_blocks
+        digits = np.array(
+            [(value // msg**i) % msg for i in range(num_blocks)], dtype=_U64
+        )
+        return RadixCiphertext(self.key.trivial_batch(digits, num_blocks))
+
+    def create_trivial_bool(self, value: bool) -> BooleanBlock:
+        return BooleanBlock(self.key.trivial_batch(
+            np.asarray([int(value)], dtype=_U64), 1))
+
+    def _shift_blocks_up(self, b: ShortintBatch, d: int, num: int = 1
+                         ) -> ShortintBatch:
+        """towards higher significance: new[i] = old[i-d], zeros below."""
+        nb = len(b) // num
+        if d == 0:
+            return b.copy()
+        parts = []
+        for g in range(num):
+            blk = _slice(b, g * nb, (g + 1) * nb)
+            parts.append(_concat([self._zeros(min(d, nb)),
+                                  _slice(blk, 0, max(nb - d, 0))]))
+        return _concat(parts)
+
+    def _shift_blocks_down(self, b: ShortintBatch, d: int, num: int = 1
+                           ) -> ShortintBatch:
+        nb = len(b) // num
+        if d == 0:
+            return b.copy()
+        parts = []
+        for g in range(num):
+            blk = _slice(b, g * nb, (g + 1) * nb)
+            parts.append(_concat([_slice(blk, min(d, nb), nb),
+                                  self._zeros(min(d, nb))]))
+        return _concat(parts)
+
+    # ------------------------------------------------------------------
+    # carry propagation (Hillis-Steele prefix scan over batched PBS)
+    # (ref: radix_parallel/add.rs:518-603 low-latency propagation)
+    # ------------------------------------------------------------------
+
+    def propagate_single_carry(self, b: ShortintBatch, num: int = 1
+                               ) -> Tuple[ShortintBatch, ShortintBatch]:
+        """Blocks hold v_i with carry <= 1; returns (clean blocks, carry-outs).
+
+        Requires degrees <= 2*msg-2 (block 0 of each group may be 2*msg-1
+        since it receives no carry-in).  carry-outs is the resolved state of
+        the top block of each group mapped to 0/1.
+        """
+        msg = self._msg
+        assert msg >= 4, (
+            "single-carry propagation needs carry space >= message space "
+            "(e.g. PARAM_MESSAGE_2_CARRY_2); use full_propagate otherwise"
+        )
+        sks = self.key
+        nb = len(b) // num
+
+        state_lut = sks.generate_lookup_table(
+            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)
+        )
+        state = sks.apply_lookup_table_batch(b, state_lut)
+        resolve = sks.generate_lookup_table_bivariate(
+            lambda cur, prev: prev if cur == 1 else cur
+        )
+        d = 1
+        while d < nb:
+            prev = self._shift_blocks_up(state, d, num=num)
+            state = sks.unchecked_bivariate_batch(state, prev, resolve)
+            d *= 2
+        carry_lut = sks.generate_lookup_table(lambda x: 1 if x == 2 else 0)
+        carries = sks.apply_lookup_table_batch(state, carry_lut)
+        carry_in = self._shift_blocks_up(carries, 1, num=num)
+        s = sks.unchecked_add_batch(b, carry_in)
+        clean = sks.message_extract_batch(s)
+        # carry out of each group = carries at the top block
+        top_idx = [g * nb + nb - 1 for g in range(num)]
+        carry_out = ShortintBatch(
+            data=carries.data[top_idx], degrees=carries.degrees[top_idx],
+            message_modulus=b.message_modulus, carry_modulus=b.carry_modulus,
+            noise=carries.noise[top_idx],
+        )
+        return clean, carry_out
+
+    def full_propagate(self, b: ShortintBatch, num: int = 1) -> ShortintBatch:
+        """Clean blocks of any degree < total_modulus
+        (ref: server_key/radix/mod.rs:503-565 full_propagate)."""
+        msg = self._msg
+        while int(b.degrees.max(initial=0)) >= msg:
+            m = self.key.message_extract_batch(b)
+            c = self.key.carry_extract_batch(b)
+            cin = self._shift_blocks_up(c, 1, num=num)
+            b = self.key.unchecked_add_batch(m, cin)
+            if int(b.degrees.max(initial=0)) <= 2 * msg - 2:
+                clean, _ = self.propagate_single_carry(b, num=num)
+                return clean
+        return b
+
+    # ------------------------------------------------------------------
+    # add / sub / neg
+    # ------------------------------------------------------------------
+
+    def add_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
+                         ) -> RadixCiphertext:
+        s = self.key.unchecked_add_batch(a.blocks, b.blocks)
+        clean, _ = self.propagate_single_carry(s)
+        return RadixCiphertext(clean)
+
+    def _neg_blocks(self, b: ShortintBatch, num: int = 1) -> ShortintBatch:
+        """Per-block negation with borrow-absorbing correcting terms
+        (ref: integer/server_key/radix/neg.rs)."""
+        msg = self._msg
+        sks = self.key
+        nb = len(b) // num
+        data = b.data.copy()
+        degrees = np.zeros_like(b.degrees)
+        with np.errstate(over="ignore"):
+            neg_data = _U64(0) - b.data
+        out = neg_data
+        delta = _U64(sks.delta)
+        for g in range(num):
+            cc = 0  # correction carried into this block
+            for i in range(nb):
+                idx = g * nb + i
+                deg = int(b.degrees[idx])
+                z = max(-(-(deg + cc) // msg), 1) * msg
+                with np.errstate(over="ignore"):
+                    out[idx, -1] += _U64((z - cc) % (2 * msg * b.carry_modulus)) * delta
+                degrees[idx] = z - cc
+                cc = z // msg
+        return ShortintBatch(
+            data=out, degrees=degrees,
+            message_modulus=b.message_modulus, carry_modulus=b.carry_modulus,
+            noise=b.noise.copy(),
+        )
+
+    def neg_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        nb = self._neg_blocks(a.blocks)
+        clean, _ = self.propagate_single_carry(nb)
+        return RadixCiphertext(clean)
+
+    def sub_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
+                         ) -> RadixCiphertext:
+        nbk = self._neg_blocks(b.blocks)
+        s = self.key.unchecked_add_batch(a.blocks, nbk)
+        clean, _ = self.propagate_single_carry(s)
+        return RadixCiphertext(clean)
+
+    # ------------------------------------------------------------------
+    # scalar add / sub / mul
+    # ------------------------------------------------------------------
+
+    def scalar_add_parallelized(self, a: RadixCiphertext, scalar: int
+                                ) -> RadixCiphertext:
+        t = self.create_trivial_radix(scalar, a.num_blocks)
+        return self.add_parallelized(a, t)
+
+    def scalar_sub_parallelized(self, a: RadixCiphertext, scalar: int
+                                ) -> RadixCiphertext:
+        msg = self._msg
+        return self.scalar_add_parallelized(a, -scalar % msg ** a.num_blocks)
+
+    def scalar_mul_parallelized(self, a: RadixCiphertext, scalar: int
+                                ) -> RadixCiphertext:
+        """Clear-digit partial products, one fused PBS round, then column sum
+        (ref: radix_parallel/scalar_mul.rs)."""
+        msg = self._msg
+        nb = a.num_blocks
+        scalar %= msg ** nb
+        if scalar == 0:
+            return self.create_trivial_radix(0, nb)
+        if scalar == 1:
+            return RadixCiphertext(self.full_propagate(a.blocks.copy()))
+        digits = [(scalar // msg**j) % msg for j in range(nb)]
+        sks = self.key
+        a_clean = a.blocks
+        columns: List[List[ShortintBatch]] = [[] for _ in range(nb)]
+        # batch all (digit j, block i, lsb/msb) partial products in 2 calls
+        lsb_luts, msb_luts, lsb_idx, msb_idx = [], [], [], []
+        for j, dgt in enumerate(digits):
+            if dgt == 0:
+                continue
+            for i in range(nb - j):
+                lsb_luts.append(sks.generate_lookup_table(
+                    lambda x, s=dgt: ((x % msg) * s) % msg))
+                lsb_idx.append((i, j))
+                if i + j + 1 < nb and dgt * (msg - 1) >= msg:
+                    msb_luts.append(sks.generate_lookup_table(
+                        lambda x, s=dgt: ((x % msg) * s) // msg))
+                    msb_idx.append((i, j))
+        for luts, idxs, off in ((lsb_luts, lsb_idx, 0), (msb_luts, msb_idx, 1)):
+            if not idxs:
+                continue
+            rows = [i for (i, j) in idxs]
+            src = ShortintBatch(
+                data=a_clean.data[rows], degrees=a_clean.degrees[rows],
+                message_modulus=a_clean.message_modulus,
+                carry_modulus=a_clean.carry_modulus, noise=a_clean.noise[rows],
+            )
+            out = sks.apply_many_lookup_tables_batch(
+                src, luts, np.arange(len(luts)))
+            for t, (i, j) in enumerate(idxs):
+                columns[i + j + off].append(_slice(out, t, t + 1))
+        return RadixCiphertext(self._sum_columns(columns))
+
+    # ------------------------------------------------------------------
+    # multiplication (ref: radix_parallel/mul.rs:329-464 block products +
+    # add.rs:789 carry-save sum tree)
+    # ------------------------------------------------------------------
+
+    def mul_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
+                         ) -> RadixCiphertext:
+        msg = self._msg
+        sks = self.key
+        nb = a.num_blocks
+        lsb = sks.generate_lookup_table_bivariate(lambda x, y: (x * y) % msg)
+        msb = sks.generate_lookup_table_bivariate(lambda x, y: (x * y) // msg)
+
+        pairs_lsb = [(i, j) for j in range(nb) for i in range(nb - j)]
+        pairs_msb = [(i, j) for j in range(nb) for i in range(nb - j)
+                     if i + j + 1 < nb]
+
+        def gather(pairs):
+            ai = [i for i, _ in pairs]
+            bj = [j for _, j in pairs]
+            av = ShortintBatch(
+                data=a.blocks.data[ai], degrees=a.blocks.degrees[ai],
+                message_modulus=msg, carry_modulus=a.blocks.carry_modulus,
+                noise=a.blocks.noise[ai])
+            bv = ShortintBatch(
+                data=b.blocks.data[bj], degrees=b.blocks.degrees[bj],
+                message_modulus=msg, carry_modulus=b.blocks.carry_modulus,
+                noise=b.blocks.noise[bj])
+            return av, bv
+
+        columns: List[List[ShortintBatch]] = [[] for _ in range(nb)]
+        for pairs, blut, off in ((pairs_lsb, lsb, 0), (pairs_msb, msb, 1)):
+            if not pairs:
+                continue
+            av, bv = gather(pairs)
+            out = sks.unchecked_bivariate_batch(av, bv, blut)
+            for t, (i, j) in enumerate(pairs):
+                columns[i + j + off].append(_slice(out, t, t + 1))
+        return RadixCiphertext(self._sum_columns(columns))
+
+    def _sum_columns(self, columns: List[List[ShortintBatch]]) -> ShortintBatch:
+        """Carry-save reduction of per-position block lists to one clean radix."""
+        msg = self._msg
+        sks = self.key
+        nb = len(columns)
+        max_degree = sks.max_degree
+        chunk = max(max_degree // (msg - 1), 2)
+        while True:
+            counts = [len(c) for c in columns]
+            if all(c <= 1 for c in counts):
+                break
+            if max(counts) <= 2:
+                # two addends left: one add + carry propagation
+                top = [c[0] if len(c) > 0 else self._zeros(1) for c in columns]
+                bot = [c[1] if len(c) > 1 else self._zeros(1) for c in columns]
+                s = sks.unchecked_add_batch(_concat(top), _concat(bot))
+                clean, _ = self.propagate_single_carry(s)
+                return clean
+            # chunked pure-add pass, then batched msg/carry extraction
+            new_columns: List[List[ShortintBatch]] = [[] for _ in range(nb)]
+            to_extract: List[Tuple[int, ShortintBatch]] = []
+            for p, col in enumerate(columns):
+                for lo in range(0, len(col), chunk):
+                    part = col[lo:lo + chunk]
+                    acc = part[0]
+                    for other in part[1:]:
+                        acc = sks.unchecked_add_batch(acc, other)
+                    if len(part) == 1 and int(acc.degrees.max()) < msg:
+                        new_columns[p].append(acc)
+                    else:
+                        to_extract.append((p, acc))
+            if to_extract:
+                stacked = _concat([t[1] for t in to_extract])
+                msgs = sks.message_extract_batch(stacked)
+                carries = sks.carry_extract_batch(stacked)
+                for t, (p, _) in enumerate(to_extract):
+                    new_columns[p].append(_slice(msgs, t, t + 1))
+                    if p + 1 < nb:
+                        new_columns[p + 1].append(_slice(carries, t, t + 1))
+            columns = new_columns
+        blocks = [c[0] if c else self._zeros(1) for c in columns]
+        return _concat(blocks)
+
+    # ------------------------------------------------------------------
+    # bitwise (ref: radix_parallel/bitwise_op.rs)
+    # ------------------------------------------------------------------
+
+    def _blockwise_bivariate(self, a, b, f) -> RadixCiphertext:
+        blut = self.key.generate_lookup_table_bivariate(f)
+        out = self.key.unchecked_bivariate_batch(a.blocks, b.blocks, blut)
+        return RadixCiphertext(out)
+
+    def bitand_parallelized(self, a, b):
+        return self._blockwise_bivariate(a, b, lambda x, y: x & y)
+
+    def bitor_parallelized(self, a, b):
+        return self._blockwise_bivariate(a, b, lambda x, y: x | y)
+
+    def bitxor_parallelized(self, a, b):
+        return self._blockwise_bivariate(a, b, lambda x, y: x ^ y)
+
+    def bitnot(self, a: RadixCiphertext) -> RadixCiphertext:
+        lut = self.key.generate_lookup_table(
+            lambda x: (self._msg - 1) - (x % self._msg))
+        return RadixCiphertext(self.key.apply_lookup_table_batch(a.blocks, lut))
+
+    # ------------------------------------------------------------------
+    # comparisons (ref: integer/server_key/comparator.rs:31-60 — per-block
+    # sign then MSB-first reduction tree)
+    # ------------------------------------------------------------------
+
+    def _block_signs(self, a: RadixCiphertext, b: RadixCiphertext) -> ShortintBatch:
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda x, y: 0 if x == y else (1 if x < y else 2)
+        )
+        return self.key.unchecked_bivariate_batch(a.blocks, b.blocks, blut)
+
+    def _reduce_signs(self, signs: ShortintBatch) -> ShortintBatch:
+        """MSB-first: high block wins unless equal."""
+        sks = self.key
+        blut = sks.generate_lookup_table_bivariate(
+            lambda high, low: low if high == 0 else high
+        )
+        cur = signs
+        while len(cur) > 1:
+            n = len(cur)
+            # pair adjacent blocks: (2i, 2i+1) with 2i+1 more significant
+            lo_idx = list(range(0, n - 1, 2))
+            hi_idx = list(range(1, n, 2))
+            lo = ShortintBatch(cur.data[lo_idx], cur.degrees[lo_idx],
+                               cur.message_modulus, cur.carry_modulus,
+                               cur.noise[lo_idx])
+            hi = ShortintBatch(cur.data[hi_idx], cur.degrees[hi_idx],
+                               cur.message_modulus, cur.carry_modulus,
+                               cur.noise[hi_idx])
+            merged = sks.unchecked_bivariate_batch(hi, lo, blut)
+            if n % 2 == 1:
+                merged = _concat([merged, _slice(cur, n - 1, n)])
+            cur = merged
+        return cur
+
+    def _compare(self, a, b) -> ShortintBatch:
+        return self._reduce_signs(self._block_signs(a, b))
+
+    def _sign_to_bool(self, sign: ShortintBatch, f) -> BooleanBlock:
+        lut = self.key.generate_lookup_table(lambda x: int(f(x)))
+        return BooleanBlock(self.key.apply_lookup_table_batch(sign, lut))
+
+    def eq_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s == 0)
+
+    def ne_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s != 0)
+
+    def lt_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s == 1)
+
+    def le_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s != 2)
+
+    def gt_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s == 2)
+
+    def ge_parallelized(self, a, b) -> BooleanBlock:
+        return self._sign_to_bool(self._compare(a, b), lambda s: s != 1)
+
+    def scalar_eq_parallelized(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
+        t = self.create_trivial_radix(scalar, a.num_blocks)
+        return self.eq_parallelized(a, t)
+
+    def scalar_cmp_parallelized(self, a: RadixCiphertext, scalar: int, op: str
+                                ) -> BooleanBlock:
+        t = self.create_trivial_radix(scalar, a.num_blocks)
+        return getattr(self, f"{op}_parallelized")(a, t)
+
+    # ------------------------------------------------------------------
+    # selection (ref: radix_parallel/cmux.rs:27)
+    # ------------------------------------------------------------------
+
+    def if_then_else_parallelized(self, cond: BooleanBlock, a: RadixCiphertext,
+                                  b: RadixCiphertext) -> RadixCiphertext:
+        sks = self.key
+        nb = a.num_blocks
+        cond_rep = ShortintBatch(
+            data=np.repeat(cond.block.data, nb, axis=0),
+            degrees=np.repeat(cond.block.degrees, nb),
+            message_modulus=a.blocks.message_modulus,
+            carry_modulus=a.blocks.carry_modulus,
+            noise=np.repeat(cond.block.noise, nb),
+        )
+        then_lut = sks.generate_lookup_table_bivariate(
+            lambda c, x: x if c else 0)
+        else_lut = sks.generate_lookup_table_bivariate(
+            lambda c, x: 0 if c else x)
+        ta = sks.unchecked_bivariate_batch(cond_rep, a.blocks, then_lut)
+        tb = sks.unchecked_bivariate_batch(cond_rep, b.blocks, else_lut)
+        s = sks.unchecked_add_batch(ta, tb)
+        return RadixCiphertext(sks.message_extract_batch(s))
+
+    cmux = if_then_else_parallelized
+
+    def max_parallelized(self, a, b):
+        return self.if_then_else_parallelized(self.ge_parallelized(a, b), a, b)
+
+    def min_parallelized(self, a, b):
+        return self.if_then_else_parallelized(self.le_parallelized(a, b), a, b)
+
+    # ------------------------------------------------------------------
+    # boolean-block algebra (used heavily by the string layer;
+    # ref: integer BooleanBlock ops)
+    # ------------------------------------------------------------------
+
+    def boolean_bitand(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
+        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a & b)
+        return BooleanBlock(
+            self.key.unchecked_bivariate_batch(x.block, y.block, blut))
+
+    def boolean_bitor(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
+        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a | b)
+        return BooleanBlock(
+            self.key.unchecked_bivariate_batch(x.block, y.block, blut))
+
+    def boolean_bitxor(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
+        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a ^ b)
+        return BooleanBlock(
+            self.key.unchecked_bivariate_batch(x.block, y.block, blut))
+
+    def boolean_bitnot(self, x: BooleanBlock) -> BooleanBlock:
+        lut = self.key.generate_lookup_table(lambda a: 1 - (a % 2))
+        return BooleanBlock(self.key.apply_lookup_table_batch(x.block, lut))
+
+    # ------------------------------------------------------------------
+    # shifts and rotates by a clear amount (ref: radix_parallel/scalar_shift.rs)
+    # ------------------------------------------------------------------
+
+    def _bits_per_block(self) -> int:
+        return self._msg.bit_length() - 1
+
+    def scalar_left_shift_parallelized(self, a: RadixCiphertext, shift: int
+                                       ) -> RadixCiphertext:
+        bpb = self._bits_per_block()
+        nb = a.num_blocks
+        shift %= nb * bpb
+        q, r = divmod(shift, bpb)
+        blocks = self._shift_blocks_up(a.blocks, q)
+        if r == 0:
+            return RadixCiphertext(blocks)
+        msg = self._msg
+        lo = self._shift_blocks_up(blocks, 1)
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda cur, below: ((cur << r) % msg) | (below >> (bpb - r))
+        )
+        out = self.key.unchecked_bivariate_batch(blocks, lo, blut)
+        return RadixCiphertext(out)
+
+    def scalar_right_shift_parallelized(self, a: RadixCiphertext, shift: int
+                                        ) -> RadixCiphertext:
+        bpb = self._bits_per_block()
+        nb = a.num_blocks
+        shift %= nb * bpb
+        q, r = divmod(shift, bpb)
+        blocks = self._shift_blocks_down(a.blocks, q)
+        if r == 0:
+            return RadixCiphertext(blocks)
+        msg = self._msg
+        hi = self._shift_blocks_down(blocks, 1)
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda above, cur: ((cur >> r) | ((above << (bpb - r)) % msg))
+        )
+        out = self.key.unchecked_bivariate_batch(hi, blocks, blut)
+        return RadixCiphertext(out)
+
+    def scalar_rotate_left_parallelized(self, a: RadixCiphertext, rot: int
+                                        ) -> RadixCiphertext:
+        nb = a.num_blocks
+        bpb = self._bits_per_block()
+        nbits = nb * bpb
+        rot %= nbits
+        if rot == 0:
+            return a.copy()
+        left = self.scalar_left_shift_parallelized(a, rot)
+        right = self.scalar_right_shift_parallelized(a, nbits - rot)
+        return self.bitor_parallelized(left, right)
+
+    def scalar_rotate_right_parallelized(self, a: RadixCiphertext, rot: int
+                                         ) -> RadixCiphertext:
+        nb = a.num_blocks
+        bpb = self._bits_per_block()
+        return self.scalar_rotate_left_parallelized(a, (nb * bpb - rot) % (nb * bpb))
