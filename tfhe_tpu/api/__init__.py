@@ -1,0 +1,301 @@
+"""High-level API (ref: tfhe/src/high_level_api/).
+
+ConfigBuilder -> generate_keys(config) -> set_server_key(sk) ->
+operator-overloaded FheUint8..FheUint256 / FheBool
+(ref: high_level_api/mod.rs:37-49; global server key state ref:
+high_level_api/global_state.rs:13-104 — here a thread-local).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Optional
+
+from ..params import ClassicPBSParameters, PARAM_MESSAGE_2_CARRY_2_KS_PBS
+from ..integer import (
+    BooleanBlock,
+    IntegerServerKey,
+    RadixCiphertext,
+    RadixClientKey,
+    gen_keys_radix,
+)
+
+
+@dataclass
+class Config:
+    parameters: ClassicPBSParameters
+
+
+class ConfigBuilder:
+    """(ref: high_level_api/config.rs)"""
+
+    def __init__(self):
+        self._params = PARAM_MESSAGE_2_CARRY_2_KS_PBS
+
+    @staticmethod
+    def default() -> "ConfigBuilder":
+        return ConfigBuilder()
+
+    def use_custom_parameters(self, params: ClassicPBSParameters) -> "ConfigBuilder":
+        self._params = params
+        return self
+
+    def build(self) -> Config:
+        return Config(parameters=self._params)
+
+
+class ClientKey:
+    def __init__(self, config: Config, seed: Optional[int] = None):
+        self.config = config
+        # num_blocks is chosen per FheUint type at encrypt time
+        self._radix = RadixClientKey(config.parameters, num_blocks=1, seed=seed)
+
+    @property
+    def radix(self) -> RadixClientKey:
+        return self._radix
+
+
+class ServerKey:
+    def __init__(self, cks: ClientKey):
+        from ..shortint import ServerKey as ShortintServerKey
+
+        self.integer_key = IntegerServerKey(ShortintServerKey(cks.radix.key))
+
+
+def generate_keys(config: Config, seed: Optional[int] = None):
+    """(ref: high_level_api/keys/mod.rs generate_keys)"""
+    cks = ClientKey(config, seed=seed)
+    sks = ServerKey(cks)
+    return cks, sks
+
+
+_state = threading.local()
+
+
+def set_server_key(sk: ServerKey) -> None:
+    _state.server_key = sk
+
+
+def _server_key() -> IntegerServerKey:
+    sk = getattr(_state, "server_key", None)
+    if sk is None:
+        raise RuntimeError("no server key set; call set_server_key(sk) first")
+    return sk.integer_key
+
+
+def _blocks_for_bits(params: ClassicPBSParameters, bits: int) -> int:
+    bpb = params.message_modulus.bit_length() - 1
+    return -(-bits // bpb)
+
+
+class FheBool:
+    def __init__(self, inner: BooleanBlock):
+        self.inner = inner
+
+    @classmethod
+    def encrypt(cls, value: bool, key: ClientKey) -> "FheBool":
+        return cls(key.radix.encrypt_bool(bool(value)))
+
+    @classmethod
+    def encrypt_trivial(cls, value: bool) -> "FheBool":
+        return cls(_server_key().create_trivial_bool(bool(value)))
+
+    def decrypt(self, key: ClientKey) -> bool:
+        return key.radix.decrypt_bool(self.inner)
+
+    def __and__(self, other: "FheBool") -> "FheBool":
+        return FheBool(_server_key().boolean_bitand(self.inner, other.inner))
+
+    def __or__(self, other: "FheBool") -> "FheBool":
+        return FheBool(_server_key().boolean_bitor(self.inner, other.inner))
+
+    def __xor__(self, other: "FheBool") -> "FheBool":
+        return FheBool(_server_key().boolean_bitxor(self.inner, other.inner))
+
+    def __invert__(self) -> "FheBool":
+        return FheBool(_server_key().boolean_bitnot(self.inner))
+
+    def if_then_else(self, then_v: "_FheUintBase", else_v: "_FheUintBase"):
+        out = _server_key().if_then_else_parallelized(
+            self.inner, then_v.inner, else_v.inner
+        )
+        return type(then_v)(out)
+
+
+class _FheUintBase:
+    """Shared implementation of the FheUintN types
+    (ref: high_level_api/integers/types/base.rs)."""
+
+    NUM_BITS: int = 0
+
+    def __init__(self, inner: RadixCiphertext):
+        self.inner = inner
+
+    # -- construction --
+
+    @classmethod
+    def encrypt(cls, value: int, key: ClientKey) -> "_FheUintBase":
+        nb = _blocks_for_bits(key.config.parameters, cls.NUM_BITS)
+        return cls(key.radix.encrypt(value, num_blocks=nb))
+
+    @classmethod
+    def encrypt_trivial(cls, value: int) -> "_FheUintBase":
+        sk = _server_key()
+        nb = _blocks_for_bits(sk.key.params, cls.NUM_BITS)
+        return cls(sk.create_trivial_radix(value, nb))
+
+    def decrypt(self, key: ClientKey) -> int:
+        return key.radix.decrypt(self.inner)
+
+    # -- arithmetic --
+
+    def _wrap(self, ct: RadixCiphertext):
+        return type(self)(ct)
+
+    def _coerce(self, other):
+        if isinstance(other, _FheUintBase):
+            return other.inner, False
+        if isinstance(other, int):
+            return other, True
+        return NotImplemented, None
+
+    def __add__(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            return self._wrap(sk.scalar_add_parallelized(self.inner, o))
+        return self._wrap(sk.add_parallelized(self.inner, o))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            return self._wrap(sk.scalar_sub_parallelized(self.inner, o))
+        return self._wrap(sk.sub_parallelized(self.inner, o))
+
+    def __mul__(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            return self._wrap(sk.scalar_mul_parallelized(self.inner, o))
+        return self._wrap(sk.mul_parallelized(self.inner, o))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self._wrap(_server_key().neg_parallelized(self.inner))
+
+    # -- bitwise --
+
+    def _bitop(self, other, op):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        return self._wrap(getattr(sk, op)(self.inner, o))
+
+    def __and__(self, other):
+        return self._bitop(other, "bitand_parallelized")
+
+    def __or__(self, other):
+        return self._bitop(other, "bitor_parallelized")
+
+    def __xor__(self, other):
+        return self._bitop(other, "bitxor_parallelized")
+
+    def __invert__(self):
+        return self._wrap(_server_key().bitnot(self.inner))
+
+    def __lshift__(self, shift: int):
+        return self._wrap(
+            _server_key().scalar_left_shift_parallelized(self.inner, shift))
+
+    def __rshift__(self, shift: int):
+        return self._wrap(
+            _server_key().scalar_right_shift_parallelized(self.inner, shift))
+
+    def rotate_left(self, rot: int):
+        return self._wrap(
+            _server_key().scalar_rotate_left_parallelized(self.inner, rot))
+
+    def rotate_right(self, rot: int):
+        return self._wrap(
+            _server_key().scalar_rotate_right_parallelized(self.inner, rot))
+
+    # -- comparisons (return FheBool, like the reference's FheOrd) --
+
+    def _cmp(self, other, op) -> FheBool:
+        sk = _server_key()
+        if isinstance(other, int):
+            other = sk.create_trivial_radix(other, self.inner.num_blocks)
+        else:
+            other = other.inner
+        return FheBool(getattr(sk, f"{op}_parallelized")(self.inner, other))
+
+    def eq(self, other) -> FheBool:
+        return self._cmp(other, "eq")
+
+    def ne(self, other) -> FheBool:
+        return self._cmp(other, "ne")
+
+    def lt(self, other) -> FheBool:
+        return self._cmp(other, "lt")
+
+    def le(self, other) -> FheBool:
+        return self._cmp(other, "le")
+
+    def gt(self, other) -> FheBool:
+        return self._cmp(other, "gt")
+
+    def ge(self, other) -> FheBool:
+        return self._cmp(other, "ge")
+
+    __eq__ = eq  # type: ignore[assignment]
+    __ne__ = ne  # type: ignore[assignment]
+    __lt__ = lt
+    __le__ = le
+    __gt__ = gt
+    __ge__ = ge
+    __hash__ = None  # encrypted values are not hashable
+
+    def max(self, other):
+        o = other.inner if isinstance(other, _FheUintBase) else \
+            _server_key().create_trivial_radix(other, self.inner.num_blocks)
+        return self._wrap(_server_key().max_parallelized(self.inner, o))
+
+    def min(self, other):
+        o = other.inner if isinstance(other, _FheUintBase) else \
+            _server_key().create_trivial_radix(other, self.inner.num_blocks)
+        return self._wrap(_server_key().min_parallelized(self.inner, o))
+
+
+def _make_fheuint(bits: int):
+    cls = type(f"FheUint{bits}", (_FheUintBase,), {"NUM_BITS": bits})
+    return cls
+
+
+FheUint8 = _make_fheuint(8)
+FheUint16 = _make_fheuint(16)
+FheUint32 = _make_fheuint(32)
+FheUint64 = _make_fheuint(64)
+FheUint128 = _make_fheuint(128)
+FheUint256 = _make_fheuint(256)
+
+__all__ = [
+    "Config",
+    "ConfigBuilder",
+    "ClientKey",
+    "ServerKey",
+    "generate_keys",
+    "set_server_key",
+    "FheBool",
+    "FheUint8",
+    "FheUint16",
+    "FheUint32",
+    "FheUint64",
+    "FheUint128",
+    "FheUint256",
+]
