@@ -118,7 +118,7 @@ class IntegerServerKey:
         )
         state = sks.apply_lookup_table_batch(b, state_lut)
         resolve = sks.generate_lookup_table_bivariate(
-            lambda cur, prev: prev if cur == 1 else cur
+            lambda cur, prev: min(prev if cur == 1 else cur, 2)
         )
         d = 1
         while d < nb:
@@ -381,7 +381,7 @@ class IntegerServerKey:
         """MSB-first: high block wins unless equal."""
         sks = self.key
         blut = sks.generate_lookup_table_bivariate(
-            lambda high, low: low if high == 0 else high
+            lambda high, low: min(low if high == 0 else high, 2)
         )
         cur = signs
         while len(cur) > 1:
@@ -473,17 +473,20 @@ class IntegerServerKey:
     # ------------------------------------------------------------------
 
     def boolean_bitand(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
-        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a & b)
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda a, b: int(bool(a) and bool(b)))
         return BooleanBlock(
             self.key.unchecked_bivariate_batch(x.block, y.block, blut))
 
     def boolean_bitor(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
-        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a | b)
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda a, b: int(bool(a) or bool(b)))
         return BooleanBlock(
             self.key.unchecked_bivariate_batch(x.block, y.block, blut))
 
     def boolean_bitxor(self, x: BooleanBlock, y: BooleanBlock) -> BooleanBlock:
-        blut = self.key.generate_lookup_table_bivariate(lambda a, b: a ^ b)
+        blut = self.key.generate_lookup_table_bivariate(
+            lambda a, b: int(bool(a) != bool(b)))
         return BooleanBlock(
             self.key.unchecked_bivariate_batch(x.block, y.block, blut))
 

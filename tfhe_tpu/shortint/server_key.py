@@ -217,9 +217,14 @@ class ServerKey:
     def trivial_batch(self, values, n: int) -> ShortintBatch:
         p = self.params
         values = np.asarray(values, dtype=_U64) % _U64(p.total_modulus)
-        data = core.trivial_lwe(values * _U64(p.delta), self.ciphertext_lwe_size - 1)
+        lwe_size = self.ciphertext_lwe_size
+        if n == 0:
+            data = np.zeros((0, lwe_size), dtype=_U64)
+        else:
+            data = np.asarray(
+                core.trivial_lwe(values * _U64(p.delta), lwe_size - 1))
         return ShortintBatch(
-            data=data.reshape(n, -1),
+            data=data.reshape(n, lwe_size),
             degrees=values.astype(np.int64),
             message_modulus=p.message_modulus,
             carry_modulus=p.carry_modulus,
