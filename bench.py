@@ -3,17 +3,68 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: tfhe-rs single-core keyswitch+PBS at the same params = 16.6 ms
 (BASELINE.md, benchmarks.md:42) -> 60.24 PBS/s.
+
+The TPU is reached through a tunnel that can stall for minutes on large
+transfers, so the real-parameter run executes under a watchdog: a fast
+small-parameter measurement is taken first and is printed as the fallback
+result if the real-parameter phase wedges.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_PBS_PER_S = 1000.0 / 16.6
+REAL_PHASE_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))
+
+
+def _measure(params, batch: int, iters: int, platform: str):
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core import keyswitch_then_pbs
+
+    t0 = time.time()
+    cks, sks = shortint.gen_keys(params, seed=99, cache_dir=".keycache")
+    keygen_s = time.time() - t0
+
+    msg = sks.message_modulus
+    lut = sks.generate_lookup_table(lambda x: (x * 3 + 1) % msg)
+    rng = np.random.default_rng(0)
+    clear = rng.integers(0, msg, batch)
+    ct = cks.encrypt_batch(clear)
+
+    fn = jax.jit(keyswitch_then_pbs)
+    data = jnp.asarray(ct.data)
+    t0 = time.time()
+    out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
+    elapsed = time.time() - t0
+    pbs_per_s = batch * iters / elapsed
+
+    got = cks.decrypt_batch(np.asarray(out))
+    ok = bool(np.array_equal(got, (clear * 3 + 1) % msg))
+    return {
+        "metric": "ks_pbs_throughput_" + params.name.lower(),
+        "value": round(pbs_per_s, 2),
+        "unit": "PBS/s/chip",
+        "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 3),
+        "platform": platform,
+        "batch": batch,
+        "correct": ok,
+        "keygen_s": round(keygen_s, 1),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def main() -> None:
@@ -25,67 +76,40 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu"
 
-    import jax.numpy as jnp
-
-    from tfhe_tpu import shortint
     from tfhe_tpu.params import (
         PARAM_MESSAGE_2_CARRY_2_KS_PBS,
         PARAM_MESSAGE_2_CARRY_2_TEST,
     )
 
-    on_tpu = platform == "tpu"
-    # TODO(ntt): switch to PARAM_MESSAGE_2_CARRY_2_KS_PBS once the Goldilocks
-    # NTT backend lands; the exact O(N^2) path at N=2048 is ~0.24 PBS/s.
-    del PARAM_MESSAGE_2_CARRY_2_KS_PBS
-    params = PARAM_MESSAGE_2_CARRY_2_TEST
-    batch = 256 if on_tpu else 64
-    iters = 4 if on_tpu else 2
+    if platform != "tpu":
+        result = _measure(PARAM_MESSAGE_2_CARRY_2_TEST, 64, 2, platform)
+        print(json.dumps(result))
+        sys.exit(0 if result["correct"] else 1)
 
-    t0 = time.time()
-    cks, sks = shortint.gen_keys(params, seed=99)
-    keygen_s = time.time() - t0
+    # Phase 1: small params (fast, small transfers) as the guaranteed result.
+    fallback = _measure(PARAM_MESSAGE_2_CARRY_2_TEST, 256, 4, platform)
+    fallback["note"] = "insecure test params (real-param phase timed out)"
 
-    msg = sks.message_modulus
-    lut = sks.generate_lookup_table(lambda x: (x * 3 + 1) % msg)
+    # Phase 2: real 128-bit-secure params under a watchdog.
+    box = {}
 
-    rng = np.random.default_rng(0)
-    clear = rng.integers(0, msg, batch)
-    ct = cks.encrypt_batch(clear)
+    def run_real():
+        try:
+            box["result"] = _measure(
+                PARAM_MESSAGE_2_CARRY_2_KS_PBS, 128, 3, platform)
+        except Exception as e:  # pragma: no cover
+            box["error"] = repr(e)
 
-    from tfhe_tpu.core import keyswitch_then_pbs
+    th = threading.Thread(target=run_real, daemon=True)
+    th.start()
+    th.join(REAL_PHASE_BUDGET_S)
 
-    fn = jax.jit(keyswitch_then_pbs)
-    data = jnp.asarray(ct.data)
-
-    t0 = time.time()
-    out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    for _ in range(iters):
-        out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
-    elapsed = time.time() - t0
-    pbs_per_s = batch * iters / elapsed
-
-    # correctness gate: decrypt and compare to the clear LUT
-    got = cks.decrypt_batch(np.asarray(out))
-    want = (clear * 3 + 1) % msg
-    ok = bool(np.array_equal(got, want))
-
-    result = {
-        "metric": "ks_pbs_throughput_" + params.name.lower(),
-        "value": round(pbs_per_s, 2),
-        "unit": "PBS/s/chip",
-        "vs_baseline": round(pbs_per_s / BASELINE_PBS_PER_S, 3),
-        "platform": platform,
-        "batch": batch,
-        "correct": ok,
-        "keygen_s": round(keygen_s, 1),
-        "compile_s": round(compile_s, 1),
-    }
-    print(json.dumps(result))
-    if not ok:
-        sys.exit(1)
+    if "result" in box:
+        print(json.dumps(box["result"]))
+        os._exit(0 if box["result"]["correct"] else 1)
+    fallback["real_phase_error"] = box.get("error", "timeout")
+    print(json.dumps(fallback))
+    os._exit(0 if fallback["correct"] else 1)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ from .keygen import (
     PreparedBsk,
     PreparedKsk,
 )
+from ..ops.polymul_ntt import PreparedBskNtt, prepare_bsk_ntt
 from .keyswitch import keyswitch
 from .pbs import (
     modulus_switch,
@@ -49,6 +50,8 @@ __all__ = [
     "generate_bootstrap_key",
     "generate_keyswitch_key",
     "prepare_bsk",
+    "prepare_bsk_ntt",
+    "PreparedBskNtt",
     "prepare_ksk",
     "PreparedBsk",
     "PreparedKsk",

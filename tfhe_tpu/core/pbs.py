@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import decomposition, limbs as limbs_mod, polymul
+from ..ops.polymul_ntt import PreparedBskNtt, external_product_ntt
 from .keygen import PreparedBsk
 
 
@@ -62,6 +63,21 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
     acc = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
 
     mask_t = jnp.transpose(lwe[:, :-1])  # [n, B]
+
+    if isinstance(bsk, PreparedBskNtt):
+
+        def step(acc, xs):
+            a_raw, spec_i, shoup_i = xs
+            a_hat = modulus_switch(a_raw, N, bits=bits)  # [B]
+            rotated = polymul.monomial_mul(acc, a_hat[:, None], N, bits=bits)
+            ct1 = rotated - acc
+            delta = external_product_ntt(
+                ct1, spec_i, shoup_i, bsk.base_log, bsk.levels
+            )
+            return acc + delta, None
+
+        acc, _ = jax.lax.scan(step, acc, (mask_t, bsk.spectra, bsk.shoup))
+        return acc
 
     def step(acc, xs):
         a_raw, bsk_i = xs

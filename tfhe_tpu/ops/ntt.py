@@ -1,0 +1,301 @@
+"""Exact negacyclic polynomial products via CRT NTTs, MXU-formulated.
+
+Replaces the reference's f64 negacyclic FFT (ref: tfhe/src/core_crypto/
+fft_impl/fft64/math/fft/mod.rs) with an error-free number-theoretic
+transform built for the TPU:
+
+- Five NTT-friendly primes, all == 1 mod 4096 so 2N-th roots exist for
+  every polynomial size in the parameter registry (N <= 2048).  Residues
+  are kept in *balanced* form (|x| <= (p-1)/2 <= 43008) so every product
+  of two residues fits a native int32 multiply on the VPU.
+- The negacyclic forward/inverse DFTs are dense constant matrices per
+  prime (psi-twist and N^-1 folded in), applied as int8-limb-plane
+  einsums on the MXU: balanced values split into 2-3 signed int8 limbs,
+  limb-pair products accumulate exactly in int32, and the shifted planes
+  recombine mod p on the VPU.
+- The u64 torus operand (bootstrap-key polynomials) splits into two
+  32-bit limb planes; each per-plane convolution against signed
+  decomposition digits (|d| <= 2^22) is bounded by 2^67 < CRT/2 ~ 2^76,
+  so it is recovered exactly by CRT (Garner mixed-radix), then planes
+  recombine as conv_0 + 2^32 conv_1 mod 2^64.
+- Spectrum-domain key multiplication uses signed Shoup multiplication:
+  the fixed operand carries a precomputed round(b * 2^16 / p) companion,
+  making each modmul two int32 multiplies, a shift and a correction.
+
+The transform is exact, so unlike the reference's f64 path the TPU
+results are bit-reproducible regardless of batch size or fusion order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# NTT-friendly primes == 1 mod 4096; balanced residues fit int16-ish and
+# all pairwise products fit int32.  (12289, 40961, 61441 need 2 int8
+# limbs; 65537, 86017 need 3.)
+PRIMES: Tuple[int, ...] = (12289, 40961, 61441, 65537, 86017)
+N_LIMBS: Tuple[int, ...] = (2, 2, 2, 3, 3)
+CRT_MODULUS = 1
+for _p in PRIMES:
+    CRT_MODULUS *= _p
+
+# torus limb split: 64 = 32 + 32
+TORUS_LIMB_BITS: Tuple[int, ...] = (32, 32)
+TORUS_LIMB_SHIFTS: Tuple[int, ...] = (0, 32)
+
+_SHOUP_BETA = 16
+
+
+def _pow_mod(base: int, exp: int, mod: int) -> int:
+    return pow(base, exp, mod)
+
+
+def _find_generator(p: int) -> int:
+    factors = []
+    n = p - 1
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            factors.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        factors.append(n)
+    for g in range(2, p):
+        if all(_pow_mod(g, (p - 1) // f, p) != 1 for f in factors):
+            return g
+    raise ValueError(f"no generator for {p}")
+
+
+@functools.lru_cache(maxsize=None)
+def _host_tables(p: int, N: int):
+    """Negacyclic DFT matrices mod p (numpy int64, canonical [0, p)).
+
+    V[k, n]   = psi^n omega^(k n)          (forward; psi = primitive 2N-th root)
+    Vinv[n,k] = N^-1 psi^-n omega^(-k n)   (inverse, scaling folded in)
+    """
+    assert (p - 1) % (2 * N) == 0, f"{p} has no 2*{N}-th root"
+    g = _find_generator(p)
+    psi = _pow_mod(g, (p - 1) // (2 * N), p)
+    omega = (psi * psi) % p
+    psi_pows = np.array([_pow_mod(psi, i, p) for i in range(N)], dtype=np.int64)
+    om_pows = np.array([_pow_mod(omega, i, p) for i in range(N)], dtype=np.int64)
+    kn = np.outer(np.arange(N, dtype=np.int64), np.arange(N, dtype=np.int64)) % N
+    V = om_pows[kn] * psi_pows[None, :] % p
+    ninv = _pow_mod(N, p - 2, p)
+    psi_inv_pows = np.array(
+        [_pow_mod(psi, (p - 2) * i % (p - 1), p) for i in range(N)], dtype=np.int64
+    )
+    om_inv_pows = np.array(
+        [_pow_mod(omega, (p - 2) * i % (p - 1), p) for i in range(N)], dtype=np.int64
+    )
+    Vinv = om_inv_pows[kn] * (psi_inv_pows * ninv % p)[:, None] % p
+    return V, Vinv
+
+
+def _balance_host(x: np.ndarray, p: int) -> np.ndarray:
+    return np.where(x > p // 2, x - p, x).astype(np.int64)
+
+
+def _limbs_host(x: np.ndarray, n_limbs: int) -> np.ndarray:
+    """Balanced int64 -> [..., n_limbs] signed int8 balanced-digit limbs."""
+    out = []
+    v = x.copy()
+    for _ in range(n_limbs):
+        l0 = ((v + 128) & 255) - 128
+        out.append(l0)
+        v = (v - l0) >> 8
+    assert np.all(v == 0), "limb overflow"
+    return np.stack(out, axis=-1).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrices_device(N: int):
+    """Per-prime (fwd, inv) DFT matrices as int8 limb planes on device."""
+    fwd, inv = [], []
+    for p, nl in zip(PRIMES, N_LIMBS):
+        V, Vinv = _host_tables(p, N)
+        # einsum consumes [input, output]; V/Vinv are built [output, input]
+        fwd.append(jnp.asarray(_limbs_host(_balance_host(V.T, p), nl)))
+        inv.append(jnp.asarray(_limbs_host(_balance_host(Vinv.T, p), nl)))
+    return tuple(fwd), tuple(inv)
+
+
+# ---------------------------------------------------------------------------
+# device-side modular helpers (balanced representation)
+# ---------------------------------------------------------------------------
+
+
+def _center_mod(x, p: int):
+    """int array (any magnitude fitting its dtype) -> balanced mod p."""
+    half = p // 2
+    return jnp.mod(x + half, p) - half
+
+
+def _to_limbs_i8(x, n_limbs: int):
+    """Balanced int32 -> [..., n_limbs] signed int8 balanced-digit limbs."""
+    out = []
+    v = x
+    for _ in range(n_limbs):
+        l0 = ((v + 128) & 255) - 128
+        out.append(l0.astype(jnp.int8))
+        v = (v - l0) >> 8
+    return jnp.stack(out, axis=-1)
+
+
+def _mod_matmul(x_bal, mat_limbs, p: int, n_limbs: int):
+    """x [..., N] balanced int32, mat [N, N', n_limbs] int8 -> [..., N']
+    balanced int32.  Exact int8 limb-plane matmul on the MXU."""
+    xl = _to_limbs_i8(x_bal, n_limbs)  # [..., N, L]
+    prod = jnp.einsum(
+        "...ni,nmj->...mij", xl, mat_limbs,
+        preferred_element_type=jnp.int32,
+    )  # [..., N', L, L]; |entry| <= 127*127*N < 2^26
+    # combine shifted planes s = i + j in int64, then center mod p
+    total = jnp.zeros(prod.shape[:-2], jnp.int64)
+    for i in range(n_limbs):
+        for j in range(n_limbs):
+            scale = (1 << (8 * (i + j))) % p
+            scale = scale - p if scale > p // 2 else scale
+            total = total + prod[..., i, j].astype(jnp.int64) * scale
+    return _center_mod(total, p).astype(jnp.int32)
+
+
+def forward_ntt(x_int):
+    """x [..., N] signed int (|x| < 2^32) -> list per prime of [..., N]
+    balanced int32 negacyclic spectra."""
+    N = x_int.shape[-1]
+    fwd, _ = dft_matrices_device(N)
+    outs = []
+    for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS)):
+        xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32)
+        outs.append(_mod_matmul(xc, fwd[i], p, nl))
+    return outs
+
+
+def inverse_ntt(spec_list):
+    """list per prime of [..., N] balanced spectra -> list of balanced
+    coefficient arrays."""
+    N = spec_list[0].shape[-1]
+    _, inv = dft_matrices_device(N)
+    return [
+        _mod_matmul(spec_list[i], inv[i], p, nl)
+        for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS))
+    ]
+
+
+def shoup_mul(a, b, bs, p: int):
+    """Balanced a*b mod p with Shoup companion bs = round(b*2^16/p).
+    All int32; |result| <= p/2 on return."""
+    q = (a * bs) >> _SHOUP_BETA  # arithmetic shift, error <= ~2
+    r = a * b - q * np.int32(p)
+    half = p // 2
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r < -half, r + p, r)
+    r = jnp.where(r < -half, r + p, r)
+    return r
+
+
+def pointwise_shoup(a_list, b_list, b_shoup_list):
+    """Per-prime balanced products a*b mod p (lists parallel to PRIMES)."""
+    return [
+        shoup_mul(a_list[i], b_list[i], b_shoup_list[i], p)
+        for i, p in enumerate(PRIMES)
+    ]
+
+
+def shoup_precompute_host(b_bal: np.ndarray, p: int) -> np.ndarray:
+    """round(b * 2^16 / p) for balanced b (signed)."""
+    return np.round(b_bal.astype(np.float64) * (1 << _SHOUP_BETA) / p).astype(
+        np.int32
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRT reconstruction (Garner mixed-radix) to u64
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _garner_consts():
+    """invs[i] = (p_0 ... p_{i-1})^-1 mod p_i; partial products mod 2^64
+    and the float ladder for the sign decision."""
+    p = [int(x) for x in PRIMES]
+    invs = []
+    for i in range(1, len(p)):
+        prod = 1
+        for j in range(i):
+            prod = prod * p[j] % p[i]
+        invs.append(pow(prod, p[i] - 2, p[i]))
+    pp_u64 = []  # p_0 ... p_{i-1} mod 2^64
+    prod = 1
+    for i in range(len(p)):
+        pp_u64.append(prod % (1 << 64))
+        prod *= p[i]
+    return p, invs, pp_u64
+
+
+def crt_to_u64_centered(res_list):
+    """Per-prime balanced residues -> u64 centered representative mod 2^64.
+
+    The true integer is guaranteed |x| < 2^70 << CRT/2 ~ 2^76, so the
+    centered class member is recovered exactly; only its value mod 2^64
+    is returned (torus arithmetic wraps anyway)."""
+    p, invs, pp_u64 = _garner_consts()
+    # canonicalize balanced -> [0, p)
+    a = [
+        jnp.where(r < 0, r + pi, r).astype(jnp.int64)
+        for r, pi in zip(res_list, p)
+    ]
+    # mixed-radix digits t_i
+    ts = [a[0]]
+    x_mod = [a[0]]  # x mod p_i accumulators, lazily computed below
+    for i in range(1, len(p)):
+        # partial = t_0 + p_0 (t_1 + p_1 (...)) mod p_i
+        partial = ts[0] % p[i]
+        mult = 1
+        for j in range(1, i):
+            mult = mult * p[j - 1] % p[i]
+            partial = (partial + ts[j] % p[i] * mult) % p[i]
+        t = (a[i] - partial) % p[i] * invs[i - 1] % p[i]
+        ts.append(t)
+    del x_mod
+    # wrapped value mod 2^64 and float magnitude for the sign decision
+    x64 = jnp.zeros(ts[0].shape, jnp.uint64)
+    xf = jnp.zeros(ts[0].shape, jnp.float32)
+    fprod = 1.0
+    for i in range(len(p)):
+        x64 = x64 + ts[i].astype(jnp.uint64) * jnp.uint64(pp_u64[i])
+        xf = xf + ts[i].astype(jnp.float32) * np.float32(fprod)
+        fprod *= p[i]
+    is_neg = xf > np.float32(float(CRT_MODULUS) / 2)
+    x64 = x64 - jnp.where(is_neg, jnp.uint64(CRT_MODULUS % (1 << 64)),
+                          jnp.uint64(0))
+    return x64
+
+
+# ---------------------------------------------------------------------------
+# torus limb planes
+# ---------------------------------------------------------------------------
+
+
+def torus_to_planes_host(poly: np.ndarray) -> np.ndarray:
+    """u64 [..., N] -> int64 [..., 2, N] planes of 32 unsigned bits."""
+    planes = [
+        ((poly >> np.uint64(s)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for s in TORUS_LIMB_SHIFTS
+    ]
+    return np.stack(planes, axis=-2)
+
+
+def planes_to_u64(conv_planes):
+    """[..., 2, N] u64 exact per-plane convolutions -> mod 2^64."""
+    return conv_planes[..., 0, :] + (
+        conv_planes[..., 1, :] << jnp.uint64(TORUS_LIMB_SHIFTS[1])
+    )

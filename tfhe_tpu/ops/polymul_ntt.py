@@ -1,0 +1,131 @@
+"""GGSW external product in the CRT-NTT domain.
+
+The performance replacement for `ops.polymul.negacyclic_contract`: instead
+of materializing per-step negacyclic N x N key matrices (O(N^2) FLOPs and
+HBM traffic per blind-rotation step), the bootstrap key is transformed
+once into per-prime NTT spectra and every step is
+
+    decompose -> forward NTT (MXU) -> Shoup pointwise + j-sum (VPU)
+    -> inverse NTT (MXU) -> CRT recombine -> u64 torus update
+
+mirroring the reference's Fourier-domain external product
+(ref: tfhe/src/core_crypto/fft_impl/fft64/crypto/ggsw.rs:477-598) with an
+exact integer transform instead of f64 FFTs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import decomposition, ntt
+
+
+def shoup_precompute_device(spec_list):
+    """Per-prime balanced spectra -> Shoup companions round(b * 2^16 / p)."""
+    outs = []
+    for spec, p in zip(spec_list, ntt.PRIMES):
+        b = spec.astype(jnp.int64)
+        num = b << ntt._SHOUP_BETA
+        # round-half-up division that matches np.round on .5 closely enough:
+        # |b|*2^16/p is never exactly half-integral for odd p
+        q = jnp.where(num >= 0, (num + p // 2) // p, -((-num + p // 2) // p))
+        outs.append(q.astype(jnp.int32))
+    return outs
+
+
+def key_to_spectra(key_polys) -> Tuple[Any, Any]:
+    """u64 key polynomials [..., N] -> (spectra, shoup) stacked [P, ..., 2, N].
+
+    The torus coefficients split into two 32-bit planes before the NTT so
+    every per-plane convolution is exactly recoverable (< CRT/2).  The u64
+    key ships to the device once; planes and spectra are computed there
+    (the tunnel to the TPU is the bottleneck, not the transform).
+    """
+    k = jnp.asarray(key_polys)  # u64 [..., N]
+    planes = jnp.stack(
+        [
+            ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+            for s in ntt.TORUS_LIMB_SHIFTS
+        ],
+        axis=-2,
+    )  # [..., 2, N]
+    spec_list = ntt.forward_ntt(planes)
+    shoup_list = shoup_precompute_device(spec_list)
+    return jnp.stack(spec_list), jnp.stack(shoup_list)
+
+
+def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
+                         levels: int):
+    """One blind-rotation step's GGSW external product, exactly.
+
+    acc_diff:  [B, G, N] u64  (ct1 = rotated - acc)
+    spec_step: [P, L, J=G, O=G, M=2, N] int32 balanced key spectra
+    shoup_step: same shape, Shoup companions
+    -> [B, O, N] u64 delta to add to the accumulator.
+    """
+    B, G, N = acc_diff.shape
+    digits = decomposition.signed_decompose(
+        acc_diff, base_log, levels, bits=64
+    )  # [B, G, N, L] int32
+    # fold (L, J): digits [B, L, J, N]; key [P, L*J, O, M, N]
+    d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, levels * G, N)
+    dspec_list = ntt.forward_ntt(d)  # per prime [B, LJ, N]
+
+    LJ = levels * G
+    prods = []
+    for i, p in enumerate(ntt.PRIMES):
+        ks = spec_step[i].reshape(LJ, G, 2, N)
+        ksh = shoup_step[i].reshape(LJ, G, 2, N)
+        a = dspec_list[i][:, :, None, None, :]  # [B, LJ, 1, 1, N]
+        r = ntt.shoup_mul(a, ks[None], ksh[None], p)
+        # sum over LJ: |sum| <= LJ * p fits int32 for LJ <= ~2^13
+        s = r.sum(axis=1)  # [B, O, M, N]
+        prods.append(ntt._center_mod(s.astype(jnp.int64), p).astype(jnp.int32))
+
+    coeffs = ntt.inverse_ntt(prods)  # per prime [B, O, M, N]
+    conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
+    return ntt.planes_to_u64(conv)  # [B, O, N]
+
+
+@dataclass
+class PreparedBskNtt:
+    """BSK in the CRT-NTT domain: spectra/shoup [n, P, L, J, O, M, N] int32."""
+
+    spectra: Any
+    shoup: Any
+    base_log: int
+    levels: int
+    glwe_size: int
+    polynomial_size: int
+    input_dim: int
+    bits: int = 64
+
+
+jax.tree_util.register_pytree_node(
+    PreparedBskNtt,
+    lambda b: ((b.spectra, b.shoup),
+               (b.base_log, b.levels, b.glwe_size, b.polynomial_size,
+                b.input_dim, b.bits)),
+    lambda meta, data: PreparedBskNtt(data[0], data[1], *meta),
+)
+
+
+def prepare_bsk_ntt(bsk_standard: np.ndarray, base_log: int,
+                    bits: int = 64) -> PreparedBskNtt:
+    """Standard-domain BSK [n, L, G(row j), G(poly o), N] u64 ->
+    NTT-domain prepared key (the TPU analog of the reference's
+    standard->Fourier conversion, ref: lwe_bootstrap_key_conversion.rs:21)."""
+    assert bits == 64, "NTT backend is u64-torus only"
+    n, L, J, O, N = bsk_standard.shape
+    spec, shoup = key_to_spectra(bsk_standard)  # [P, n, L, J, O, 2, N]
+    spec = jnp.moveaxis(spec, 0, 1)  # [n, P, L, J, O, 2, N]
+    shoup = jnp.moveaxis(shoup, 0, 1)
+    return PreparedBskNtt(
+        spectra=spec, shoup=shoup, base_log=base_log, levels=L,
+        glwe_size=J, polynomial_size=N, input_dim=n, bits=bits,
+    )

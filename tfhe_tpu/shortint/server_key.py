@@ -46,7 +46,7 @@ _pbs_ks_jit = jax.jit(core.pbs_then_keyswitch)
 
 
 class ServerKey:
-    def __init__(self, cks: ClientKey):
+    def __init__(self, cks: ClientKey, _raw=None):
         p = cks.params
         self.params = p
         self.message_modulus = p.message_modulus
@@ -55,15 +55,23 @@ class ServerKey:
         # allows one bivariate packing of fresh inputs: msg_mod * 1 + 1
         self.max_noise_level = p.message_modulus + 1
         self.delta = p.delta
-        bsk = core.generate_bootstrap_key(
-            cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
-            p.glwe_modular_std_dev, cks.enc_gen,
-        )
-        ksk = core.generate_keyswitch_key(
-            cks.big_sk, cks.lwe_sk, p.ks_base_log, p.ks_level,
-            p.lwe_modular_std_dev, cks.enc_gen,
-        )
-        self.bsk = core.prepare_bsk(bsk, p.pbs_base_log)
+        if _raw is None:
+            bsk = core.generate_bootstrap_key(
+                cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
+                p.glwe_modular_std_dev, cks.enc_gen,
+            )
+            ksk = core.generate_keyswitch_key(
+                cks.big_sk, cks.lwe_sk, p.ks_base_log, p.ks_level,
+                p.lwe_modular_std_dev, cks.enc_gen,
+            )
+        else:
+            bsk, ksk = _raw
+        self.raw_bsk = bsk
+        self.raw_ksk = ksk
+        # CRT-NTT domain by default: exact, and the per-step work is MXU
+        # matmuls against constant DFT matrices instead of materialized
+        # N x N key matrices (see ops/ntt.py)
+        self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log)
         self.ksk = core.prepare_ksk(ksk, p.ks_base_log)
         self._lut_cache: dict = {}
         if p.encryption_key_choice.value == "big":
@@ -387,8 +395,29 @@ class ServerKey:
         return self._smart_bivariate(a, b, lambda x, y: int(x >= y))
 
 
-def gen_keys(params: ClassicPBSParameters, seed: Optional[int] = None):
-    """(ref: shortint/mod.rs:87 gen_keys)"""
+def gen_keys(params: ClassicPBSParameters, seed: Optional[int] = None,
+             cache_dir: Optional[str] = None):
+    """(ref: shortint/mod.rs:87 gen_keys)
+
+    With `cache_dir` and a fixed seed, raw bsk/ksk arrays are persisted on
+    disk keyed by (param set name, seed) and the encryption generator is
+    fast-forwarded on hit — the reference's keycache (ref:
+    tfhe/src/keycache/mod.rs:58-228, shortint/keycache.rs)."""
     cks = ClientKey(params, seed=seed)
+    if cache_dir is None or seed is None:
+        return cks, ServerKey(cks)
+
+    import os
+
+    path = os.path.join(cache_dir, f"{params.name}_s{seed}.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        cks.enc_gen.mask.current = int(data["mask_cur"])
+        cks.enc_gen.noise.current = int(data["noise_cur"])
+        return cks, ServerKey(cks, _raw=(data["bsk"], data["ksk"]))
     sks = ServerKey(cks)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(path, bsk=sks.raw_bsk, ksk=sks.raw_ksk,
+             mask_cur=cks.enc_gen.mask.current,
+             noise_cur=cks.enc_gen.noise.current)
     return cks, sks
