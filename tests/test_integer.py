@@ -106,3 +106,52 @@ def test_trivial_radix(keys):
     t = sks.create_trivial_radix(123, NB)
     assert cks.decrypt(t) == 123
     assert cks.decrypt(sks.add_parallelized(t, cks.encrypt(10))) == 133
+
+
+def test_div_rem(keys):
+    """Shift-subtract division incl. the reference's div-by-zero convention
+    (ref: radix_parallel/div_mod.rs)."""
+    cks, sks = keys
+    for x, y in ((200, 7), (45, 45), (3, 200)):
+        q, r = sks.div_rem_parallelized(cks.encrypt(x), cks.encrypt(y))
+        assert cks.decrypt(q) == x // y
+        assert cks.decrypt(r) == x % y
+    q, r = sks.div_rem_parallelized(cks.encrypt(77), cks.encrypt(0))
+    assert cks.decrypt(q) == MOD - 1
+    assert cks.decrypt(r) == 77
+
+
+def test_encrypted_amount_shifts(keys):
+    cks, sks = keys
+    a = 0b10110101
+    ca = cks.encrypt(a)
+    for s in (0, 2, 5):
+        amt = cks.encrypt(s)
+        assert cks.decrypt(sks.left_shift_parallelized(ca, amt)) == (a << s) % MOD
+        assert cks.decrypt(sks.right_shift_parallelized(ca, amt)) == a >> s
+        exp = ((a << s) | (a >> (8 - s))) % MOD if s else a
+        assert cks.decrypt(sks.rotate_left_parallelized(ca, amt)) == exp
+
+
+def test_scalar_div_rem(keys):
+    cks, sks = keys
+    for d in (3, 7, 12, 255):
+        assert cks.decrypt(sks.scalar_div_parallelized(cks.encrypt(201), d)) == 201 // d
+        assert cks.decrypt(sks.scalar_rem_parallelized(cks.encrypt(201), d)) == 201 % d
+
+
+def test_overflowing_ops(keys):
+    cks, sks = keys
+    s, o = sks.overflowing_add_parallelized(cks.encrypt(200), cks.encrypt(100))
+    assert cks.decrypt(s) == 300 % MOD and cks.decrypt_bool(o) is True
+    s, o = sks.overflowing_add_parallelized(cks.encrypt(2), cks.encrypt(3))
+    assert cks.decrypt(s) == 5 and cks.decrypt_bool(o) is False
+    s, o = sks.overflowing_sub_parallelized(cks.encrypt(5), cks.encrypt(9))
+    assert cks.decrypt(s) == (5 - 9) % MOD and cks.decrypt_bool(o) is True
+
+
+def test_sum_ciphertexts(keys):
+    cks, sks = keys
+    vals = [10, 20, 30, 40, 55, 17, 3]
+    tot = sks.sum_ciphertexts_parallelized([cks.encrypt(v) for v in vals])
+    assert cks.decrypt(tot) == sum(vals) % MOD

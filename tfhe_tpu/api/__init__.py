@@ -209,21 +209,76 @@ class _FheUintBase:
     def __invert__(self):
         return self._wrap(_server_key().bitnot(self.inner))
 
-    def __lshift__(self, shift: int):
+    def __lshift__(self, shift):
+        if isinstance(shift, _FheUintBase):
+            return self._wrap(
+                _server_key().left_shift_parallelized(self.inner, shift.inner))
         return self._wrap(
             _server_key().scalar_left_shift_parallelized(self.inner, shift))
 
-    def __rshift__(self, shift: int):
+    def __rshift__(self, shift):
+        if isinstance(shift, _FheUintBase):
+            return self._wrap(
+                _server_key().right_shift_parallelized(self.inner, shift.inner))
         return self._wrap(
             _server_key().scalar_right_shift_parallelized(self.inner, shift))
 
-    def rotate_left(self, rot: int):
+    def rotate_left(self, rot):
+        if isinstance(rot, _FheUintBase):
+            return self._wrap(
+                _server_key().rotate_left_parallelized(self.inner, rot.inner))
         return self._wrap(
             _server_key().scalar_rotate_left_parallelized(self.inner, rot))
 
-    def rotate_right(self, rot: int):
+    def rotate_right(self, rot):
+        if isinstance(rot, _FheUintBase):
+            return self._wrap(
+                _server_key().rotate_right_parallelized(self.inner, rot.inner))
         return self._wrap(
             _server_key().scalar_rotate_right_parallelized(self.inner, rot))
+
+    # -- division (ref: high_level_api Div/Rem impls; div by an encrypted
+    # zero yields all-ones / the numerator like the reference) --
+
+    def __floordiv__(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            return self._wrap(sk.scalar_div_parallelized(self.inner, o))
+        return self._wrap(sk.div_parallelized(self.inner, o))
+
+    def __mod__(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            return self._wrap(sk.scalar_rem_parallelized(self.inner, o))
+        return self._wrap(sk.rem_parallelized(self.inner, o))
+
+    def div_rem(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        q, r = sk.div_rem_parallelized(self.inner, o)
+        return self._wrap(q), self._wrap(r)
+
+    # -- overflow-reporting ops --
+
+    def overflowing_add(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        s, ov = sk.overflowing_add_parallelized(self.inner, o)
+        return self._wrap(s), FheBool(ov)
+
+    def overflowing_sub(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        s, ov = sk.overflowing_sub_parallelized(self.inner, o)
+        return self._wrap(s), FheBool(ov)
 
     # -- comparisons (return FheBool, like the reference's FheOrd) --
 

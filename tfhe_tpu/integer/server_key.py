@@ -552,3 +552,174 @@ class IntegerServerKey:
         nb = a.num_blocks
         bpb = self._bits_per_block()
         return self.scalar_rotate_left_parallelized(a, (nb * bpb - rot) % (nb * bpb))
+
+    # ------------------------------------------------------------------
+    # shifts and rotates by an ENCRYPTED amount: barrel shifter, one
+    # cmux rung per bit of the amount (ref: radix_parallel/shift.rs,
+    # rotate.rs — the reference's cmux ladder over rayon tasks becomes a
+    # ladder of batched if_then_else rounds)
+    # ------------------------------------------------------------------
+
+    def _amount_bits(self, amount: RadixCiphertext, nbits_needed: int
+                     ) -> List[BooleanBlock]:
+        """LSB-first bits of the shift amount (only log2(total bits) used)."""
+        bpb = self._bits_per_block()
+        sks = self.key
+        bits: List[BooleanBlock] = []
+        for k in range(nbits_needed):
+            blk, j = divmod(k, bpb)
+            if blk >= amount.num_blocks:
+                bits.append(self.create_trivial_bool(False))
+                continue
+            lut = sks.generate_lookup_table(lambda x, jj=j: (x >> jj) & 1)
+            bits.append(BooleanBlock(sks.apply_lookup_table_batch(
+                _slice(amount.blocks, blk, blk + 1), lut)))
+        return bits
+
+    def _barrel(self, a: RadixCiphertext, amount: RadixCiphertext,
+                stage) -> RadixCiphertext:
+        nbits = a.num_blocks * self._bits_per_block()
+        k_max = (nbits - 1).bit_length()
+        bits = self._amount_bits(amount, k_max)
+        cur = a
+        for k, bit in enumerate(bits):
+            shifted = stage(cur, 1 << k)
+            cur = self.if_then_else_parallelized(bit, shifted, cur)
+        return cur
+
+    def left_shift_parallelized(self, a: RadixCiphertext,
+                                amount: RadixCiphertext) -> RadixCiphertext:
+        return self._barrel(a, amount, self.scalar_left_shift_parallelized)
+
+    def right_shift_parallelized(self, a: RadixCiphertext,
+                                 amount: RadixCiphertext) -> RadixCiphertext:
+        return self._barrel(a, amount, self.scalar_right_shift_parallelized)
+
+    def rotate_left_parallelized(self, a: RadixCiphertext,
+                                 amount: RadixCiphertext) -> RadixCiphertext:
+        return self._barrel(a, amount, self.scalar_rotate_left_parallelized)
+
+    def rotate_right_parallelized(self, a: RadixCiphertext,
+                                  amount: RadixCiphertext) -> RadixCiphertext:
+        return self._barrel(a, amount, self.scalar_rotate_right_parallelized)
+
+    # ------------------------------------------------------------------
+    # division (ref: radix_parallel/div_mod.rs:12-600 shift-subtract:
+    # MSB-first bit recurrence r = 2r + bit; if r >= d then r -= d)
+    # ------------------------------------------------------------------
+
+    def div_rem_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
+                             ) -> Tuple[RadixCiphertext, RadixCiphertext]:
+        sks = self.key
+        msg = self._msg
+        nb = a.num_blocks
+        bpb = self._bits_per_block()
+        nbits = nb * bpb
+
+        # numerator bits, MSB first
+        bit_luts = [sks.generate_lookup_table(
+            lambda x, jj=j: (x >> jj) & 1) for j in range(bpb)]
+        r = self.create_trivial_radix(0, nb)
+        q_bits: List[ShortintBatch] = []
+        for k in range(nbits - 1, -1, -1):
+            blk, j = divmod(k, bpb)
+            bit = sks.apply_lookup_table_batch(
+                _slice(a.blocks, blk, blk + 1), bit_luts[j])
+            r2_blocks = self.scalar_left_shift_parallelized(r, 1).blocks
+            lo = _slice(r2_blocks, 0, 1)
+            first = sks.unchecked_add_batch(lo, bit)
+            # value <= msg-1 (the shifted low bit is zero) but the tracked
+            # degree says msg; one message-extract restores the invariant
+            first = sks.message_extract_batch(first)
+            r2 = RadixCiphertext(_concat([first, _slice(r2_blocks, 1, nb)])
+                                 if nb > 1 else first)
+            ge = self.ge_parallelized(r2, b)
+            diff = self.sub_parallelized(r2, b)
+            r = self.if_then_else_parallelized(ge, diff, r2)
+            q_bits.append(ge.block)
+        # assemble quotient blocks from bits (no carries: values < msg)
+        q_blocks: List[ShortintBatch] = []
+        for i in range(nb):
+            acc = None
+            for j in range(bpb):
+                k = i * bpb + j  # bit index
+                blk = q_bits[nbits - 1 - k]  # q_bits is MSB-first
+                term = sks.unchecked_scalar_mul_batch(blk, 1 << j)
+                acc = term if acc is None else sks.unchecked_add_batch(acc, term)
+            q_blocks.append(acc)
+        q = RadixCiphertext(_concat(q_blocks))
+        return q, r
+
+    def div_parallelized(self, a, b):
+        return self.div_rem_parallelized(a, b)[0]
+
+    def rem_parallelized(self, a, b):
+        return self.div_rem_parallelized(a, b)[1]
+
+    # ------------------------------------------------------------------
+    # scalar division by a clear constant: Granlund–Montgomery
+    # multiply-shift on a widened radix (ref: radix_parallel/
+    # scalar_div_mod.rs)
+    # ------------------------------------------------------------------
+
+    def _widen(self, a: RadixCiphertext, extra: int) -> RadixCiphertext:
+        return RadixCiphertext(_concat([a.blocks, self._zeros(extra)]))
+
+    def scalar_div_parallelized(self, a: RadixCiphertext, d: int
+                                ) -> RadixCiphertext:
+        if d <= 0:
+            raise ValueError("divisor must be positive")
+        msg = self._msg
+        nb = a.num_blocks
+        nbits = nb * self._bits_per_block()
+        if d == 1:
+            return RadixCiphertext(self.full_propagate(a.blocks.copy()))
+        if d & (d - 1) == 0:
+            return self.scalar_right_shift_parallelized(
+                a, d.bit_length() - 1)
+        l = (d - 1).bit_length()  # ceil(log2 d)
+        m = ((1 << (nbits + l)) + d - 1) // d  # < 2^(l+1) + 2^nbits
+        wide_blocks = -(-(2 * nbits + l) // self._bits_per_block())
+        aw = self._widen(a, wide_blocks - nb)
+        prod = self.scalar_mul_parallelized(aw, m)
+        shifted = self.scalar_right_shift_parallelized(prod, nbits + l)
+        return RadixCiphertext(_slice(shifted.blocks, 0, nb))
+
+    def scalar_rem_parallelized(self, a: RadixCiphertext, d: int
+                                ) -> RadixCiphertext:
+        q = self.scalar_div_parallelized(a, d)
+        qd = self.scalar_mul_parallelized(q, d)
+        return self.sub_parallelized(a, qd)
+
+    # ------------------------------------------------------------------
+    # overflow-reporting ops (ref: radix_parallel/add.rs overflowing_add,
+    # sub.rs overflowing_sub)
+    # ------------------------------------------------------------------
+
+    def overflowing_add_parallelized(self, a: RadixCiphertext,
+                                     b: RadixCiphertext):
+        s = self.key.unchecked_add_batch(a.blocks, b.blocks)
+        clean, carry_out = self.propagate_single_carry(s)
+        return RadixCiphertext(clean), BooleanBlock(carry_out)
+
+    def overflowing_sub_parallelized(self, a: RadixCiphertext,
+                                     b: RadixCiphertext):
+        return self.sub_parallelized(a, b), self.lt_parallelized(a, b)
+
+    # ------------------------------------------------------------------
+    # multi-operand sum (ref: radix_parallel/add.rs:789
+    # unchecked_sum_ciphertexts_vec_parallelized carry-save tree)
+    # ------------------------------------------------------------------
+
+    def sum_ciphertexts_parallelized(self, cts: List[RadixCiphertext]
+                                     ) -> RadixCiphertext:
+        if not cts:
+            raise ValueError("empty sum")
+        if len(cts) == 1:
+            return cts[0].copy()
+        nb = cts[0].num_blocks
+        columns: List[List[ShortintBatch]] = [[] for _ in range(nb)]
+        for ct in cts:
+            for i in range(nb):
+                columns[i].append(_slice(ct.blocks, i, i + 1))
+        return RadixCiphertext(self._sum_columns(columns))
