@@ -8,7 +8,7 @@ from ..params import (
     PARAM_MESSAGE_2_CARRY_2_KS_PBS,
     PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST,
 )
-from .ciphertext import FheAsciiChar, FheString, Padding
+from .ciphertext import FheAsciiChar, FheSplit, FheString, Padding
 from .client_key import NUMBER_BLOCKS, ConversionError, StringClientKey
 from .server_key import StringServerKey
 
@@ -27,6 +27,7 @@ def gen_keys_test(seed: Optional[int] = None):
 
 __all__ = [
     "FheString",
+    "FheSplit",
     "FheAsciiChar",
     "Padding",
     "StringClientKey",

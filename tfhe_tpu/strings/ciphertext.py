@@ -34,6 +34,17 @@ class FheAsciiChar:
 
 
 @dataclass
+class FheSplit:
+    """Result of split ops (ref: split.rs:13-17).  Only the first
+    `number_parts` entries of `parts` are meaningful; the rest are garbage
+    and must be ignored by the consumer."""
+
+    parts: List["FheString"]
+    number_parts: Union[int, RadixCiphertext]
+    current_index: int = 0
+
+
+@dataclass
 class FheString:
     content: List[FheAsciiChar]
     padding: Padding

@@ -71,6 +71,13 @@ class StringClientKey:
                 out.append(chr(v))
         return "".join(out)
 
+    def decrypt_split(self, sp) -> list:
+        """Decrypt the first number_parts parts (ref contract: split.rs:9-17)."""
+        k = sp.number_parts
+        if not isinstance(k, int):
+            k = self.integer_key.decrypt(k)
+        return [self.decrypt_string(p) for p in sp.parts[:k]]
+
     def decrypt_ascii_char(self, ch: FheAsciiChar) -> int:
         return self.integer_key.decrypt(ch.ct)
 

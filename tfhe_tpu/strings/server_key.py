@@ -20,6 +20,7 @@ from ..integer.ciphertext import BooleanBlock, RadixCiphertext
 from ..shortint.ciphertext import ShortintBatch
 from .ciphertext import FheAsciiChar, FheString, Padding
 from .client_key import NUMBER_BLOCKS
+from .split import SplitOps
 
 _U64 = np.uint64
 
@@ -45,7 +46,7 @@ def _take(b: ShortintBatch, idx) -> ShortintBatch:
     )
 
 
-class StringServerKey:
+class StringServerKey(SplitOps):
     def __init__(self, integer_key: IntegerServerKey):
         self.integer_key = integer_key
         self.sks = integer_key.key
