@@ -69,3 +69,22 @@ def test_trivial_encrypt(ctx):
     assert t.decrypt(ctx) == 99
     a = FheUint8.encrypt(1, ctx)
     assert (t + a).decrypt(ctx) == 100
+
+
+def test_fheint_ops(ctx):
+    from tfhe_tpu import FheInt8
+
+    a = FheInt8.encrypt(-42, ctx)
+    b = FheInt8.encrypt(17, ctx)
+    assert (a + b).decrypt(ctx) == -25
+    assert (a - b).decrypt(ctx) == -59
+    assert (a * b).decrypt(ctx) == (-42 * 17 + 128) % 256 - 128
+    assert (-a).decrypt(ctx) == 42
+    assert a.abs().decrypt(ctx) == 42
+    assert (a >> 2).decrypt(ctx) == -11  # arithmetic shift
+    assert (a < b).decrypt(ctx) is True
+    assert (a > 0).decrypt(ctx) is False
+    assert a.max(b).decrypt(ctx) == 17
+    q, r = a.div_rem(b)
+    assert q.decrypt(ctx) == -2 and r.decrypt(ctx) == -8
+    assert (a // 5).decrypt(ctx) == -8  # truncation toward zero

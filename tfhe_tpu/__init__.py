@@ -40,6 +40,12 @@ _API_NAMES = (
     "FheUint64",
     "FheUint128",
     "FheUint256",
+    "FheInt8",
+    "FheInt16",
+    "FheInt32",
+    "FheInt64",
+    "FheInt128",
+    "FheInt256",
 )
 
 
@@ -66,4 +72,10 @@ __all__ = [
     "FheUint64",
     "FheUint128",
     "FheUint256",
+    "FheInt8",
+    "FheInt16",
+    "FheInt32",
+    "FheInt64",
+    "FheInt128",
+    "FheInt256",
 ]

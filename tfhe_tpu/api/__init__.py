@@ -327,8 +327,116 @@ class _FheUintBase:
         return self._wrap(_server_key().min_parallelized(self.inner, o))
 
 
+class _FheIntBase(_FheUintBase):
+    """Shared implementation of the FheIntN types: two's complement over
+    the same radix blocks (ref: high_level_api/integers/types/base.rs
+    FheInt expansion; integer signed ops ref: integer/server_key/
+    radix_parallel/{abs,comparison,shift,div_mod}.rs signed variants)."""
+
+    @classmethod
+    def encrypt(cls, value: int, key: ClientKey) -> "_FheIntBase":
+        nb = _blocks_for_bits(key.config.parameters, cls.NUM_BITS)
+        return cls(key.radix.encrypt_signed(value, num_blocks=nb))
+
+    def decrypt(self, key: ClientKey) -> int:
+        return key.radix.decrypt_signed(self.inner)
+
+    # -- sign-aware ops --
+
+    def abs(self) -> "_FheIntBase":
+        return self._wrap(_server_key().abs_parallelized(self.inner))
+
+    def __rshift__(self, shift):
+        sk = _server_key()
+        if isinstance(shift, _FheUintBase):
+            return self._wrap(sk.signed_right_shift_parallelized(
+                self.inner, shift.inner))
+        return self._wrap(sk.signed_scalar_right_shift_parallelized(
+            self.inner, shift))
+
+    def __floordiv__(self, other):
+        return self.div_rem(other)[0]
+
+    def __mod__(self, other):
+        return self.div_rem(other)[1]
+
+    def div_rem(self, other):
+        """Truncating division like Rust (not Python floor division)."""
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            q, r = sk.signed_scalar_div_rem_parallelized(self.inner, o)
+        else:
+            q, r = sk.signed_div_rem_parallelized(self.inner, o)
+        return self._wrap(q), self._wrap(r)
+
+    def _cmp(self, other, op) -> FheBool:
+        sk = _server_key()
+        if isinstance(other, int):
+            return FheBool(sk.signed_scalar_cmp_parallelized(
+                self.inner, other, op))
+        return FheBool(sk.signed_cmp_parallelized(self.inner, other.inner, op))
+
+    def eq(self, other) -> FheBool:
+        return self._cmp(other, "eq")
+
+    def ne(self, other) -> FheBool:
+        return self._cmp(other, "ne")
+
+    def lt(self, other) -> FheBool:
+        return self._cmp(other, "lt")
+
+    def le(self, other) -> FheBool:
+        return self._cmp(other, "le")
+
+    def gt(self, other) -> FheBool:
+        return self._cmp(other, "gt")
+
+    def ge(self, other) -> FheBool:
+        return self._cmp(other, "ge")
+
+    __eq__ = eq  # type: ignore[assignment]
+    __ne__ = ne  # type: ignore[assignment]
+    __lt__ = lt
+    __le__ = le
+    __gt__ = gt
+    __ge__ = ge
+    __hash__ = None
+
+    def max(self, other):
+        o = other.inner if isinstance(other, _FheUintBase) else \
+            _server_key().create_trivial_radix(other, self.inner.num_blocks)
+        return self._wrap(_server_key().signed_max_parallelized(self.inner, o))
+
+    def min(self, other):
+        o = other.inner if isinstance(other, _FheUintBase) else \
+            _server_key().create_trivial_radix(other, self.inner.num_blocks)
+        return self._wrap(_server_key().signed_min_parallelized(self.inner, o))
+
+    def overflowing_add(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        s, ov = sk.signed_overflowing_add_parallelized(self.inner, o)
+        return self._wrap(s), FheBool(ov)
+
+    def overflowing_sub(self, other):
+        o, scalar = self._coerce(other)
+        sk = _server_key()
+        if scalar:
+            o = sk.create_trivial_radix(o, self.inner.num_blocks)
+        s, ov = sk.signed_overflowing_sub_parallelized(self.inner, o)
+        return self._wrap(s), FheBool(ov)
+
+
 def _make_fheuint(bits: int):
     cls = type(f"FheUint{bits}", (_FheUintBase,), {"NUM_BITS": bits})
+    return cls
+
+
+def _make_fheint(bits: int):
+    cls = type(f"FheInt{bits}", (_FheIntBase,), {"NUM_BITS": bits})
     return cls
 
 
@@ -338,6 +446,13 @@ FheUint32 = _make_fheuint(32)
 FheUint64 = _make_fheuint(64)
 FheUint128 = _make_fheuint(128)
 FheUint256 = _make_fheuint(256)
+
+FheInt8 = _make_fheint(8)
+FheInt16 = _make_fheint(16)
+FheInt32 = _make_fheint(32)
+FheInt64 = _make_fheint(64)
+FheInt128 = _make_fheint(128)
+FheInt256 = _make_fheint(256)
 
 __all__ = [
     "Config",
@@ -353,4 +468,10 @@ __all__ = [
     "FheUint64",
     "FheUint128",
     "FheUint256",
+    "FheInt8",
+    "FheInt16",
+    "FheInt32",
+    "FheInt64",
+    "FheInt128",
+    "FheInt256",
 ]

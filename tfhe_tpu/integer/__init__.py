@@ -7,6 +7,7 @@ from ..shortint import ServerKey as ShortintServerKey, gen_keys as shortint_gen_
 from .ciphertext import BooleanBlock, RadixCiphertext
 from .client_key import RadixClientKey
 from .server_key import IntegerServerKey
+from .signed import SignedRadixCiphertext
 
 
 def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
@@ -19,6 +20,7 @@ def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
 
 __all__ = [
     "RadixCiphertext",
+    "SignedRadixCiphertext",
     "BooleanBlock",
     "RadixClientKey",
     "IntegerServerKey",

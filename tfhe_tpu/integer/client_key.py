@@ -10,6 +10,7 @@ import numpy as np
 from ..params import ClassicPBSParameters
 from ..shortint import ClientKey as ShortintClientKey
 from .ciphertext import BooleanBlock, RadixCiphertext
+from .signed import SignedRadixCiphertext
 
 
 class RadixClientKey:
@@ -43,6 +44,18 @@ class RadixClientKey:
         return int(sum(int(b) * msg**i for i, b in enumerate(blocks))) % self.modulus(
             ct.num_blocks
         )
+
+    def encrypt_signed(self, value: int, num_blocks: Optional[int] = None
+                       ) -> SignedRadixCiphertext:
+        """Two's complement encoding (ref: integer/client_key signed)."""
+        nb = num_blocks or self.num_blocks
+        return SignedRadixCiphertext(
+            self.key.encrypt_batch(self._to_blocks(value, nb)))
+
+    def decrypt_signed(self, ct: RadixCiphertext) -> int:
+        v = self.decrypt(ct)
+        mod = self.modulus(ct.num_blocks)
+        return v - mod if v >= mod // 2 else v
 
     def decrypt_bool(self, b: BooleanBlock) -> bool:
         return bool(self.key.decrypt_batch(b.block)[0])

@@ -17,6 +17,7 @@ import numpy as np
 from ..shortint import ServerKey as ShortintServerKey
 from ..shortint.ciphertext import ShortintBatch
 from .ciphertext import BooleanBlock, RadixCiphertext
+from .signed import SignedOps
 
 _U64 = np.uint64
 
@@ -39,7 +40,7 @@ def _slice(b: ShortintBatch, lo: int, hi: int) -> ShortintBatch:
     )
 
 
-class IntegerServerKey:
+class IntegerServerKey(SignedOps):
     def __init__(self, key: ShortintServerKey):
         self.key = key
         self.message_modulus = key.message_modulus
