@@ -18,6 +18,7 @@ from ..integer import (
     IntegerServerKey,
     RadixCiphertext,
     RadixClientKey,
+    SignedRadixCiphertext,
     gen_keys_radix,
 )
 
@@ -116,6 +117,9 @@ class FheBool:
     def __invert__(self) -> "FheBool":
         return FheBool(_server_key().boolean_bitnot(self.inner))
 
+    def _conformance_check(self, params) -> None:
+        self.inner._conformance_check(params)
+
     def if_then_else(self, then_v: "_FheUintBase", else_v: "_FheUintBase"):
         out = _server_key().if_then_else_parallelized(
             self.inner, then_v.inner, else_v.inner
@@ -131,6 +135,9 @@ class _FheUintBase:
 
     def __init__(self, inner: RadixCiphertext):
         self.inner = inner
+
+    def _conformance_check(self, params) -> None:
+        self.inner._conformance_check(params)
 
     # -- construction --
 
@@ -454,6 +461,179 @@ FheInt64 = _make_fheint(64)
 FheInt128 = _make_fheint(128)
 FheInt256 = _make_fheint(256)
 
+# ---------------------------------------------------------------------------
+# compressed types (ref: high_level_api/integers/types/compressed.rs and
+# high_level_api/keys/server.rs CompressedServerKey)
+# ---------------------------------------------------------------------------
+
+
+class CompressedServerKey:
+    """Seeded server key: ~2x smaller on the wire; decompress on the server
+    (ref: high_level_api/keys/server.rs CompressedServerKey)."""
+
+    def __init__(self, cks: ClientKey):
+        from ..shortint import CompressedServerKey as ShortintCompressed
+
+        self.inner = ShortintCompressed(cks.radix.key)
+
+    @classmethod
+    def _wrap(cls, inner) -> "CompressedServerKey":
+        self = cls.__new__(cls)
+        self.inner = inner
+        return self
+
+    @property
+    def params(self):
+        return self.inner.params
+
+    def decompress(self) -> "ServerKey":
+        sks = ServerKey.__new__(ServerKey)
+        sks.integer_key = IntegerServerKey(self.inner.decompress())
+        return sks
+
+
+class _CompressedFheBase:
+    """A compressed (seeded) fresh encryption of one FheUint/FheInt value.
+
+    Stores only the per-block bodies + the public mask seed
+    (ref: high_level_api/integers/types/compressed.rs CompressedFheUint)."""
+
+    FHE_CLS = None
+
+    def __init__(self, compressed_list, signed: bool):
+        self.compressed_list = compressed_list
+        self.signed = signed
+
+    def _conformance_check(self, params) -> None:
+        self.compressed_list._conformance_check(params)
+
+    @classmethod
+    def encrypt(cls, value: int, key: ClientKey):
+        from ..shortint import encrypt_compressed_batch
+
+        rck = key.radix
+        nb = _blocks_for_bits(key.config.parameters, cls.FHE_CLS.NUM_BITS)
+        blocks = rck._to_blocks(value, nb)
+        comp = encrypt_compressed_batch(rck.key, blocks)
+        return cls(comp, signed=issubclass(cls.FHE_CLS, _FheIntBase))
+
+    def decompress(self):
+        batch = self.compressed_list.decompress()
+        if self.signed:
+            return self.FHE_CLS(SignedRadixCiphertext(batch))
+        return self.FHE_CLS(RadixCiphertext(batch))
+
+
+def _make_compressed(fhe_cls):
+    return type(f"Compressed{fhe_cls.__name__}", (_CompressedFheBase,),
+                {"FHE_CLS": fhe_cls})
+
+
+CompressedFheUint8 = _make_compressed(FheUint8)
+CompressedFheUint16 = _make_compressed(FheUint16)
+CompressedFheUint32 = _make_compressed(FheUint32)
+CompressedFheUint64 = _make_compressed(FheUint64)
+CompressedFheUint128 = _make_compressed(FheUint128)
+CompressedFheUint256 = _make_compressed(FheUint256)
+CompressedFheInt8 = _make_compressed(FheInt8)
+CompressedFheInt16 = _make_compressed(FheInt16)
+CompressedFheInt32 = _make_compressed(FheInt32)
+CompressedFheInt64 = _make_compressed(FheInt64)
+CompressedFheInt128 = _make_compressed(FheInt128)
+CompressedFheInt256 = _make_compressed(FheInt256)
+
+
+# ---------------------------------------------------------------------------
+# serialization adapters for the high-level types
+# (ref: serde derives on the high_level_api types + safe_deserialization.rs)
+# ---------------------------------------------------------------------------
+
+
+def _register_hl_adapters():
+    import sys
+
+    from ..utils import serialization as ser
+
+    mod = sys.modules[__name__]
+
+    def _fhe_state(obj):
+        inner_meta, arrays = ser._TO_STATE[type(obj.inner)](obj.inner)
+        return {"fhe_cls": type(obj).__name__, "inner": inner_meta}, arrays
+
+    def _fhe_from(meta, arrays):
+        cls = getattr(mod, meta["fhe_cls"])
+        if issubclass(cls, _FheIntBase):
+            inner = ser._FROM_STATE["integer.SignedRadixCiphertext"](
+                meta["inner"], arrays)
+        elif issubclass(cls, _FheUintBase):
+            inner = ser._FROM_STATE["integer.RadixCiphertext"](
+                meta["inner"], arrays)
+        else:
+            inner = ser._FROM_STATE["integer.BooleanBlock"](
+                meta["inner"], arrays)
+        return cls(inner)
+
+    ser.register_adapter(_FheUintBase, "api.FheUint", _fhe_state, _fhe_from)
+    ser.register_adapter(FheBool, "api.FheBool", _fhe_state, _fhe_from)
+
+    def _comp_state(obj):
+        meta, arrays = ser._TO_STATE[type(obj.compressed_list)](
+            obj.compressed_list)
+        return {"fhe_cls": type(obj).__name__, "inner": meta}, arrays
+
+    def _comp_from(meta, arrays):
+        cls = getattr(mod, meta["fhe_cls"])
+        inner = ser._FROM_STATE["shortint.CompressedCiphertextList"](
+            meta["inner"], arrays)
+        return cls(inner, signed=issubclass(cls.FHE_CLS, _FheIntBase))
+
+    ser.register_adapter(_CompressedFheBase, "api.CompressedFhe",
+                         _comp_state, _comp_from)
+
+    def _sks_state(obj):
+        return ser._TO_STATE[type(obj.integer_key.key)](obj.integer_key.key)
+
+    def _sks_from(meta, arrays):
+        sks = ServerKey.__new__(ServerKey)
+        sks.integer_key = IntegerServerKey(
+            ser._FROM_STATE["shortint.ServerKey"](meta, arrays))
+        return sks
+
+    ser.register_adapter(ServerKey, "api.ServerKey", _sks_state, _sks_from)
+
+    def _comp_sks_state(obj):
+        return ser._TO_STATE[type(obj.inner)](obj.inner)
+
+    def _comp_sks_from(meta, arrays):
+        return CompressedServerKey._wrap(
+            ser._FROM_STATE["shortint.CompressedServerKey"](meta, arrays))
+
+    ser.register_adapter(CompressedServerKey, "api.CompressedServerKey",
+                         _comp_sks_state, _comp_sks_from)
+
+    def _cks_state(obj):
+        meta, arrays = ser._TO_STATE[type(obj.radix.key)](obj.radix.key)
+        return {"inner": meta}, arrays
+
+    def _cks_from(meta, arrays):
+        from ..shortint import ClientKey as ShortintClientKey
+
+        skey = ser._FROM_STATE["shortint.ClientKey"](meta["inner"], arrays)
+        cks = ClientKey.__new__(ClientKey)
+        cks.config = Config(parameters=skey.params)
+        rck = RadixClientKey.__new__(RadixClientKey)
+        rck.key = skey
+        rck.num_blocks = 1
+        rck.params = skey.params
+        cks._radix = rck
+        return cks
+
+    ser.register_adapter(ClientKey, "api.ClientKey", _cks_state, _cks_from)
+
+
+_register_hl_adapters()
+
+
 __all__ = [
     "Config",
     "ConfigBuilder",
@@ -461,6 +641,19 @@ __all__ = [
     "ServerKey",
     "generate_keys",
     "set_server_key",
+    "CompressedServerKey",
+    "CompressedFheUint8",
+    "CompressedFheUint16",
+    "CompressedFheUint32",
+    "CompressedFheUint64",
+    "CompressedFheUint128",
+    "CompressedFheUint256",
+    "CompressedFheInt8",
+    "CompressedFheInt16",
+    "CompressedFheInt32",
+    "CompressedFheInt64",
+    "CompressedFheInt128",
+    "CompressedFheInt256",
     "FheBool",
     "FheUint8",
     "FheUint16",

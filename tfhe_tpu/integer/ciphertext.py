@@ -26,6 +26,9 @@ class RadixCiphertext:
     def block_degrees(self) -> np.ndarray:
         return self.blocks.degrees
 
+    def _conformance_check(self, params) -> None:
+        self.blocks._conformance_check(params)
+
 
 @dataclass
 class BooleanBlock:
@@ -35,3 +38,6 @@ class BooleanBlock:
 
     def copy(self) -> "BooleanBlock":
         return BooleanBlock(self.block.copy())
+
+    def _conformance_check(self, params) -> None:
+        self.block._conformance_check(params)

@@ -81,6 +81,13 @@ class ClassicPBSParameters:
     def max_degree(self) -> int:
         return self.total_modulus - 1
 
+    @property
+    def ciphertext_lwe_size(self) -> int:
+        """Length of a fresh ciphertext vector under the encryption key."""
+        if self.encryption_key_choice is EncryptionKeyChoice.BIG:
+            return self.big_lwe_dimension + 1
+        return self.lwe_dimension + 1
+
 
 @dataclass(frozen=True)
 class MultiBitPBSParameters:

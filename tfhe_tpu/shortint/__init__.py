@@ -4,6 +4,11 @@
 from .ciphertext import CheckError, Ciphertext, ShortintBatch
 from .client_key import ClientKey
 from .server_key import BivariateLookupTable, LookupTable, ServerKey, gen_keys
+from .compressed import (
+    CompressedCiphertextList,
+    CompressedServerKey,
+    encrypt_compressed_batch,
+)
 
 __all__ = [
     "CheckError",
@@ -14,4 +19,7 @@ __all__ = [
     "LookupTable",
     "BivariateLookupTable",
     "gen_keys",
+    "CompressedServerKey",
+    "CompressedCiphertextList",
+    "encrypt_compressed_batch",
 ]

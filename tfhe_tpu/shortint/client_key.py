@@ -26,6 +26,27 @@ class ClientKey:
         self.big_sk = self.glwe_sk.as_lwe_secret_key()
         self._seeder = seeder
 
+    @classmethod
+    def from_raw(cls, params: ClassicPBSParameters, lwe_sk_bits: np.ndarray,
+                 glwe_sk_bits: np.ndarray,
+                 seed: Optional[int] = None) -> "ClientKey":
+        """Rebuild a client key from stored secret-key bits (deserialization
+        path — encryption randomness is re-seeded fresh, matching the
+        reference where the RNG lives in the thread-local engine, not the
+        serialized key)."""
+        self = cls.__new__(cls)
+        self.params = params
+        seeder = Seeder(seed) if seed is not None else system_seeder()
+        self.enc_gen = EncryptionRandomGenerator(seeder.seed(), seeder)
+        bits = params.torus_bits
+        self.lwe_sk = core.LweSecretKey(
+            np.asarray(lwe_sk_bits), bits=bits)
+        self.glwe_sk = core.GlweSecretKey(
+            np.asarray(glwe_sk_bits), bits=bits)
+        self.big_sk = self.glwe_sk.as_lwe_secret_key()
+        self._seeder = seeder
+        return self
+
     @property
     def encryption_key_and_noise(self):
         if self.params.encryption_key_choice is EncryptionKeyChoice.BIG:

@@ -45,6 +45,14 @@ _ks_pbs_jit = jax.jit(core.keyswitch_then_pbs)
 _pbs_ks_jit = jax.jit(core.pbs_then_keyswitch)
 
 
+class _ParamsShell:
+    """Minimal stand-in for a ClientKey when reconstructing a ServerKey from
+    raw key material (only `.params` is consulted in that path)."""
+
+    def __init__(self, params):
+        self.params = params
+
+
 class ServerKey:
     def __init__(self, cks: ClientKey, _raw=None):
         p = cks.params
@@ -78,6 +86,13 @@ class ServerKey:
             self.ciphertext_lwe_size = p.big_lwe_dimension + 1
         else:
             self.ciphertext_lwe_size = p.lwe_dimension + 1
+
+    @classmethod
+    def from_raw(cls, params, bsk: np.ndarray, ksk: np.ndarray) -> "ServerKey":
+        """Rebuild a server key from raw standard-domain BSK/KSK arrays
+        (deserialization / decompression path)."""
+        shell = _ParamsShell(params)
+        return cls(shell, _raw=(np.asarray(bsk), np.asarray(ksk)))
 
     # ------------------------------------------------------------------
     # lookup tables
