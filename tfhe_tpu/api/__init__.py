@@ -544,6 +544,108 @@ CompressedFheInt256 = _make_compressed(FheInt256)
 
 
 # ---------------------------------------------------------------------------
+# public keys (ref: high_level_api/keys/public.rs PublicKey/CompactPublicKey
+# and integers/types/compact.rs CompactFheUint)
+# ---------------------------------------------------------------------------
+
+
+def _value_blocks(params, value: int, num_blocks: int):
+    import numpy as np
+
+    msg = params.message_modulus
+    value %= msg ** num_blocks
+    return np.array([(value // msg**i) % msg for i in range(num_blocks)],
+                    dtype=np.uint64)
+
+
+class PublicKey:
+    """Standard public key: anyone holding it can encrypt
+    (ref: high_level_api/keys/public.rs)."""
+
+    def __init__(self, cks: ClientKey):
+        from ..shortint.public_key import PublicKey as ShortintPublicKey
+
+        self.inner = ShortintPublicKey(cks.radix.key)
+
+    @property
+    def params(self):
+        return self.inner.params
+
+
+class CompactPublicKey:
+    """Compact public key — ciphertext lists it produces stay packed until
+    `expand()` (ref: high_level_api/keys/public.rs CompactPublicKey)."""
+
+    def __init__(self, cks: ClientKey):
+        from ..shortint.public_key import (
+            CompactPublicKey as ShortintCompactPublicKey,
+        )
+
+        self.inner = ShortintCompactPublicKey(cks.radix.key)
+
+    @property
+    def params(self):
+        return self.inner.params
+
+
+class _CompactFheBase:
+    """Compact fresh encryption of one value under a CompactPublicKey
+    (ref: high_level_api/integers/types/compact.rs CompactFheUint)."""
+
+    FHE_CLS = None
+
+    def __init__(self, compact_list):
+        self.compact_list = compact_list
+
+    @classmethod
+    def encrypt(cls, value: int, key: CompactPublicKey):
+        p = key.params
+        nb = _blocks_for_bits(p, cls.FHE_CLS.NUM_BITS)
+        blocks = _value_blocks(p, value, nb)
+        return cls(key.inner.encrypt_compact_batch(blocks))
+
+    def expand(self):
+        batch = self.compact_list.expand()
+        if issubclass(self.FHE_CLS, _FheIntBase):
+            return self.FHE_CLS(SignedRadixCiphertext(batch))
+        return self.FHE_CLS(RadixCiphertext(batch))
+
+    def _conformance_check(self, params) -> None:
+        self.compact_list._conformance_check(params)
+
+
+def _make_compact(fhe_cls):
+    return type(f"Compact{fhe_cls.__name__}", (_CompactFheBase,),
+                {"FHE_CLS": fhe_cls})
+
+
+CompactFheUint8 = _make_compact(FheUint8)
+CompactFheUint16 = _make_compact(FheUint16)
+CompactFheUint32 = _make_compact(FheUint32)
+CompactFheUint64 = _make_compact(FheUint64)
+CompactFheUint128 = _make_compact(FheUint128)
+CompactFheUint256 = _make_compact(FheUint256)
+CompactFheInt8 = _make_compact(FheInt8)
+CompactFheInt16 = _make_compact(FheInt16)
+CompactFheInt32 = _make_compact(FheInt32)
+CompactFheInt64 = _make_compact(FheInt64)
+CompactFheInt128 = _make_compact(FheInt128)
+CompactFheInt256 = _make_compact(FheInt256)
+
+
+def _encrypt_with_public_key(cls, value: int, key: PublicKey):
+    p = key.params
+    nb = _blocks_for_bits(p, cls.NUM_BITS)
+    batch = key.inner.encrypt_batch(_value_blocks(p, value, nb))
+    if issubclass(cls, _FheIntBase):
+        return cls(SignedRadixCiphertext(batch))
+    return cls(RadixCiphertext(batch))
+
+
+_FheUintBase.encrypt_with_public_key = classmethod(_encrypt_with_public_key)
+
+
+# ---------------------------------------------------------------------------
 # serialization adapters for the high-level types
 # (ref: serde derives on the high_level_api types + safe_deserialization.rs)
 # ---------------------------------------------------------------------------
@@ -630,6 +732,38 @@ def _register_hl_adapters():
 
     ser.register_adapter(ClientKey, "api.ClientKey", _cks_state, _cks_from)
 
+    def _pk_state(obj):
+        return ser._TO_STATE[type(obj.inner)](obj.inner)
+
+    def _pk_from(meta, arrays):
+        self = PublicKey.__new__(PublicKey)
+        self.inner = ser._FROM_STATE["shortint.PublicKey"](meta, arrays)
+        return self
+
+    ser.register_adapter(PublicKey, "api.PublicKey", _pk_state, _pk_from)
+
+    def _cpk_from(meta, arrays):
+        self = CompactPublicKey.__new__(CompactPublicKey)
+        self.inner = ser._FROM_STATE["shortint.CompactPublicKey"](
+            meta, arrays)
+        return self
+
+    ser.register_adapter(CompactPublicKey, "api.CompactPublicKey",
+                         _pk_state, _cpk_from)
+
+    def _compact_fhe_state(obj):
+        meta, arrays = ser._TO_STATE[type(obj.compact_list)](
+            obj.compact_list)
+        return {"fhe_cls": type(obj).__name__, "inner": meta}, arrays
+
+    def _compact_fhe_from(meta, arrays):
+        cls = getattr(mod, meta["fhe_cls"])
+        return cls(ser._FROM_STATE["shortint.CompactCiphertextList"](
+            meta["inner"], arrays))
+
+    ser.register_adapter(_CompactFheBase, "api.CompactFhe",
+                         _compact_fhe_state, _compact_fhe_from)
+
 
 _register_hl_adapters()
 
@@ -642,6 +776,20 @@ __all__ = [
     "generate_keys",
     "set_server_key",
     "CompressedServerKey",
+    "PublicKey",
+    "CompactPublicKey",
+    "CompactFheUint8",
+    "CompactFheUint16",
+    "CompactFheUint32",
+    "CompactFheUint64",
+    "CompactFheUint128",
+    "CompactFheUint256",
+    "CompactFheInt8",
+    "CompactFheInt16",
+    "CompactFheInt32",
+    "CompactFheInt64",
+    "CompactFheInt128",
+    "CompactFheInt256",
     "CompressedFheUint8",
     "CompressedFheUint16",
     "CompressedFheUint32",

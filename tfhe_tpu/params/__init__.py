@@ -25,6 +25,8 @@ from .shortint_params import (
     PARAM_MESSAGE_4_CARRY_4_KS_PBS,
     PARAM_MESSAGE_2_CARRY_2_TEST,
     PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST,
+    PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS,
+    PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS,
     ALL_PARAMETER_SETS,
@@ -55,6 +57,8 @@ __all__ = [
     "PARAM_MESSAGE_4_CARRY_4_KS_PBS",
     "PARAM_MESSAGE_2_CARRY_2_TEST",
     "PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST",
+    "PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS",
+    "PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS",
     "ALL_PARAMETER_SETS",

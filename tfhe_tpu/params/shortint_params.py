@@ -164,6 +164,40 @@ PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST = ClassicPBSParameters(
     carry_modulus=4,
 )
 
+# Compact-public-key parameter sets (power-of-two encryption dimension so
+# the Joye-style packing applies; ref: shortint/parameters/
+# parameters_compact_pk.rs:191-205, :613-627)
+PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS = ClassicPBSParameters(
+    name="PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS",
+    lwe_dimension=756,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_modular_std_dev=6.983104533665408e-06,
+    glwe_modular_std_dev=3.152834667799722e-16,
+    pbs_base_log=22,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+)
+
+PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS = ClassicPBSParameters(
+    name="PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS",
+    lwe_dimension=1024,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_modular_std_dev=4.99029381172945e-8,
+    glwe_modular_std_dev=3.15283466779972e-16,
+    pbs_base_log=21,
+    pbs_level=1,
+    ks_base_log=8,
+    ks_level=2,
+    message_modulus=4,
+    carry_modulus=4,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+)
+
 PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS = MultiBitPBSParameters(
     name="PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS",
     lwe_dimension=818,

@@ -9,6 +9,7 @@ from .compressed import (
     CompressedServerKey,
     encrypt_compressed_batch,
 )
+from .public_key import CompactCiphertextList, CompactPublicKey, PublicKey
 
 __all__ = [
     "CheckError",
@@ -22,4 +23,7 @@ __all__ = [
     "CompressedServerKey",
     "CompressedCiphertextList",
     "encrypt_compressed_batch",
+    "PublicKey",
+    "CompactPublicKey",
+    "CompactCiphertextList",
 ]

@@ -357,6 +357,60 @@ def _register_all() -> None:
         ),
     )
 
+    # public keys ------------------------------------------------------
+    from ..core.public_key import (
+        CompactLweCiphertextList, LweCompactPublicKey, LwePublicKey,
+    )
+    from ..shortint.public_key import (
+        CompactCiphertextList, CompactPublicKey, PublicKey,
+    )
+
+    def _pk_state(pk):
+        return (_params_to_meta(pk.params),
+                {"zero_encs": pk.key.zero_encs})
+
+    def _pk_from(meta, arrays):
+        self = PublicKey.__new__(PublicKey)
+        self.params = _params_from_meta(meta)
+        self.key = LwePublicKey(zero_encs=arrays["zero_encs"],
+                                bits=self.params.torus_bits)
+        return self
+
+    register_adapter(PublicKey, "shortint.PublicKey", _pk_state, _pk_from)
+
+    def _cpk_state(pk):
+        return (_params_to_meta(pk.params),
+                {"mask": pk.key.mask, "body": pk.key.body})
+
+    def _cpk_from(meta, arrays):
+        self = CompactPublicKey.__new__(CompactPublicKey)
+        self.params = _params_from_meta(meta)
+        self.key = LweCompactPublicKey(
+            mask=arrays["mask"], body=arrays["body"],
+            bits=self.params.torus_bits)
+        return self
+
+    register_adapter(CompactPublicKey, "shortint.CompactPublicKey",
+                     _cpk_state, _cpk_from)
+
+    register_adapter(
+        CompactCiphertextList, "shortint.CompactCiphertextList",
+        lambda c: (
+            {"message_modulus": c.message_modulus,
+             "carry_modulus": c.carry_modulus, "bits": c.compact.bits},
+            {"masks": c.compact.masks, "bodies": c.compact.bodies,
+             "degrees": c.degrees},
+        ),
+        lambda meta, arrays: CompactCiphertextList(
+            compact=CompactLweCiphertextList(
+                masks=arrays["masks"], bodies=arrays["bodies"],
+                bits=meta["bits"]),
+            degrees=arrays["degrees"],
+            message_modulus=meta["message_modulus"],
+            carry_modulus=meta["carry_modulus"],
+        ),
+    )
+
     from ..shortint.compressed import (
         CompressedCiphertextList, CompressedServerKey,
     )
