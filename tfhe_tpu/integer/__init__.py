@@ -8,6 +8,13 @@ from .ciphertext import BooleanBlock, RadixCiphertext
 from .client_key import RadixClientKey
 from .server_key import IntegerServerKey
 from .signed import SignedRadixCiphertext
+from .crt import (
+    CrtCiphertext,
+    CrtClientKey,
+    CrtServerKey,
+    gen_keys_crt,
+    i_crt,
+)
 
 
 def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
@@ -19,6 +26,11 @@ def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
 
 
 __all__ = [
+    "CrtCiphertext",
+    "CrtClientKey",
+    "CrtServerKey",
+    "gen_keys_crt",
+    "i_crt",
     "RadixCiphertext",
     "SignedRadixCiphertext",
     "BooleanBlock",

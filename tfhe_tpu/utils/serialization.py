@@ -279,6 +279,21 @@ def _register_all() -> None:
                      lambda meta, arrays: BooleanBlock(
                          _batch_from(meta, arrays)))
 
+    from ..integer.crt import CrtCiphertext
+
+    register_adapter(
+        CrtCiphertext, "integer.CrtCiphertext",
+        lambda c: (
+            {**_batch_state(c.blocks)[0], "moduli": list(map(int, c.moduli))},
+            _batch_state(c.blocks)[1],
+        ),
+        lambda meta, arrays: CrtCiphertext(
+            _batch_from(
+                {k: v for k, v in meta.items() if k != "moduli"}, arrays),
+            list(meta["moduli"]),
+        ),
+    )
+
     # keys --------------------------------------------------------------
     from ..shortint.client_key import ClientKey as ShortintClientKey
     from ..shortint.server_key import ServerKey as ShortintServerKey
