@@ -24,6 +24,14 @@ from .keygen import (
     PreparedKsk,
 )
 from ..ops.polymul_ntt import PreparedBskNtt, prepare_bsk_ntt
+from .multibit import (
+    PreparedMultiBitBskNtt,
+    generate_multi_bit_bootstrap_key,
+    keyswitch_then_multi_bit_pbs,
+    multi_bit_pbs_then_keyswitch,
+    multi_bit_programmable_bootstrap,
+    prepare_multi_bit_bsk_ntt,
+)
 from .keyswitch import keyswitch
 from .pbs import (
     modulus_switch,
@@ -56,6 +64,12 @@ __all__ = [
     "PreparedBsk",
     "PreparedKsk",
     "keyswitch",
+    "PreparedMultiBitBskNtt",
+    "generate_multi_bit_bootstrap_key",
+    "prepare_multi_bit_bsk_ntt",
+    "multi_bit_programmable_bootstrap",
+    "keyswitch_then_multi_bit_pbs",
+    "multi_bit_pbs_then_keyswitch",
     "modulus_switch",
     "blind_rotate",
     "sample_extract",

@@ -102,6 +102,29 @@ def _balance_host(x: np.ndarray, p: int) -> np.ndarray:
     return np.where(x > p // 2, x - p, x).astype(np.int64)
 
 
+@functools.lru_cache(maxsize=None)
+def psi_pow_tables_device(N: int):
+    """Per-prime [2N] balanced int32 tables of psi^t (psi = primitive 2N-th
+    root used by `_host_tables`).
+
+    The negacyclic forward transform of the monomial X^d is
+    spec(X^d)[k] = psi^d omega^(k d) = psi^(d (2k+1) mod 2N), so monomial
+    multiplication in the spectrum domain is one gather from these tables —
+    the key enabler for combining multi-bit GGSW groups without re-running
+    a forward NTT per blind-rotation step.
+
+    Cached as host numpy (converting under a jit trace would cache leaked
+    tracers); callers convert with jnp.asarray per trace."""
+    outs = []
+    for p in PRIMES:
+        g = _find_generator(p)
+        psi = _pow_mod(g, (p - 1) // (2 * N), p)
+        pows = np.array([_pow_mod(psi, t, p) for t in range(2 * N)],
+                        dtype=np.int64)
+        outs.append(_balance_host(pows, p).astype(np.int32))
+    return tuple(outs)
+
+
 def _limbs_host(x: np.ndarray, n_limbs: int) -> np.ndarray:
     """Balanced int64 -> [..., n_limbs] signed int8 balanced-digit limbs."""
     out = []

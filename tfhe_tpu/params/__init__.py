@@ -29,6 +29,7 @@ from .shortint_params import (
     PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS,
+    PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST,
     ALL_PARAMETER_SETS,
     get_parameters,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS",
+    "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST",
     "ALL_PARAMETER_SETS",
     "get_parameters",
     "DEFAULT_PARAMETERS",

@@ -230,6 +230,24 @@ PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS = MultiBitPBSParameters(
     grouping_factor=3,
 )
 
+# Insecure toy multi-bit fixture for fast tests (same role as
+# PARAM_MESSAGE_2_CARRY_2_TEST, ref: SURVEY §4.7 fast-but-insecure params).
+PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST = MultiBitPBSParameters(
+    name="PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST",
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_modular_std_dev=0.000007069849454709433,
+    glwe_modular_std_dev=0.00000000000000029403601535432533,
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+    grouping_factor=2,
+)
+
 ALL_PARAMETER_SETS = {
     p.name: p
     for p in [

@@ -142,6 +142,31 @@ class EncryptionRandomGenerator:
             noise_bytes_per_glwe(poly_size),
         )
 
+    def fork_multi_bit_bsk_to_ggsw_group(self, lwe_dimension: int, level: int,
+                                         glwe_size: int, poly_size: int,
+                                         grouping_factor: int, bits: int = 64):
+        """One child per group of `grouping_factor` input bits; each group
+        holds 2^gf GGSWs (ref: encryption/mod.rs
+        fork_multi_bit_bsk_to_ggsw_group)."""
+        ggsw_per_element = 1 << grouping_factor
+        return self.fork(
+            lwe_dimension // grouping_factor,
+            ggsw_per_element * mask_bytes_per_ggsw(bits, level, glwe_size,
+                                                   poly_size),
+            ggsw_per_element * noise_bytes_per_ggsw(level, glwe_size,
+                                                    poly_size),
+        )
+
+    def fork_multi_bit_bsk_ggsw_group_to_ggsw(self, level: int,
+                                              glwe_size: int, poly_size: int,
+                                              grouping_factor: int,
+                                              bits: int = 64):
+        return self.fork(
+            1 << grouping_factor,
+            mask_bytes_per_ggsw(bits, level, glwe_size, poly_size),
+            noise_bytes_per_ggsw(level, glwe_size, poly_size),
+        )
+
     def fork_ksk_to_lwe(self, n_in: int, level: int, lwe_out_dimension: int,
                         bits: int = 64):
         """One child per input-key bit of a keyswitch key (level LWEs each)."""

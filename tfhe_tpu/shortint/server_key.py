@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import core
-from ..params import ClassicPBSParameters, PBSOrder
+from ..params import ClassicPBSParameters, MultiBitPBSParameters, PBSOrder
 from .ciphertext import CheckError, Ciphertext, ShortintBatch, NOMINAL_NOISE
 from .client_key import ClientKey
 
@@ -43,6 +43,8 @@ class BivariateLookupTable:
 
 _ks_pbs_jit = jax.jit(core.keyswitch_then_pbs)
 _pbs_ks_jit = jax.jit(core.pbs_then_keyswitch)
+_ks_mb_pbs_jit = jax.jit(core.keyswitch_then_multi_bit_pbs)
+_mb_pbs_ks_jit = jax.jit(core.multi_bit_pbs_then_keyswitch)
 
 
 class _ParamsShell:
@@ -63,11 +65,18 @@ class ServerKey:
         # allows one bivariate packing of fresh inputs: msg_mod * 1 + 1
         self.max_noise_level = p.message_modulus + 1
         self.delta = p.delta
+        self.is_multi_bit = isinstance(p, MultiBitPBSParameters)
         if _raw is None:
-            bsk = core.generate_bootstrap_key(
-                cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
-                p.glwe_modular_std_dev, cks.enc_gen,
-            )
+            if self.is_multi_bit:
+                bsk = core.generate_multi_bit_bootstrap_key(
+                    cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
+                    p.glwe_modular_std_dev, p.grouping_factor, cks.enc_gen,
+                )
+            else:
+                bsk = core.generate_bootstrap_key(
+                    cks.lwe_sk, cks.glwe_sk, p.pbs_base_log, p.pbs_level,
+                    p.glwe_modular_std_dev, cks.enc_gen,
+                )
             ksk = core.generate_keyswitch_key(
                 cks.big_sk, cks.lwe_sk, p.ks_base_log, p.ks_level,
                 p.lwe_modular_std_dev, cks.enc_gen,
@@ -79,7 +88,11 @@ class ServerKey:
         # CRT-NTT domain by default: exact, and the per-step work is MXU
         # matmuls against constant DFT matrices instead of materialized
         # N x N key matrices (see ops/ntt.py)
-        self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log)
+        if self.is_multi_bit:
+            self.bsk = core.prepare_multi_bit_bsk_ntt(
+                bsk, p.pbs_base_log, p.grouping_factor)
+        else:
+            self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log)
         self.ksk = core.prepare_ksk(ksk, p.ks_base_log)
         self._lut_cache: dict = {}
         if p.encryption_key_choice.value == "big":
@@ -136,8 +149,10 @@ class ServerKey:
     def _pbs(self, data: np.ndarray, acc) -> np.ndarray:
         ct = jnp.asarray(data)
         if self.params.pbs_order is PBSOrder.KEYSWITCH_BOOTSTRAP:
-            return np.asarray(_ks_pbs_jit(self.ksk, self.bsk, acc, ct))
-        return np.asarray(_pbs_ks_jit(self.ksk, self.bsk, acc, ct))
+            fn = _ks_mb_pbs_jit if self.is_multi_bit else _ks_pbs_jit
+        else:
+            fn = _mb_pbs_ks_jit if self.is_multi_bit else _pbs_ks_jit
+        return np.asarray(fn(self.ksk, self.bsk, acc, ct))
 
     def apply_lookup_table_batch(self, batch: ShortintBatch,
                                  lut: LookupTable) -> ShortintBatch:
