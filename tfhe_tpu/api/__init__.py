@@ -155,6 +155,16 @@ class _FheUintBase:
     def decrypt(self, key: ClientKey) -> int:
         return key.radix.decrypt(self.inner)
 
+    def cast_into(self, target_cls):
+        """Width/signedness cast, e.g. FheUint32 -> FheUint16 truncates and
+        FheInt8 -> FheInt32 sign-extends (ref: high_level_api
+        CastFrom/CastInto impls over integer cast_to_{un,}signed)."""
+        sk = _server_key()
+        nb = _blocks_for_bits(sk.key.params, target_cls.NUM_BITS)
+        if issubclass(target_cls, _FheIntBase):
+            return target_cls(sk.cast_to_signed(self.inner, nb))
+        return target_cls(sk.cast_to_unsigned(self.inner, nb))
+
     # -- arithmetic --
 
     def _wrap(self, ct: RadixCiphertext):

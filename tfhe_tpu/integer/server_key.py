@@ -658,6 +658,64 @@ class IntegerServerKey(SignedOps):
         return self.div_rem_parallelized(a, b)[1]
 
     # ------------------------------------------------------------------
+    # radix casting (ref: integer/server_key/radix/mod.rs
+    # extend_radix_with_trivial_zero_blocks_msb / trim_radix_blocks_msb /
+    # extend_radix_with_sign_msb; used by high_level_api cast_into)
+    # ------------------------------------------------------------------
+
+    def extend_radix_with_trivial_zero_blocks_msb(
+            self, a: RadixCiphertext, n: int) -> RadixCiphertext:
+        return RadixCiphertext(_concat([a.blocks, self._zeros(n)]))
+
+    def trim_radix_blocks_msb(self, a: RadixCiphertext,
+                              n: int) -> RadixCiphertext:
+        return RadixCiphertext(_slice(a.blocks, 0, a.num_blocks - n))
+
+    def extend_radix_with_sign_msb(self, a: "SignedRadixCiphertext",
+                                   n: int) -> "SignedRadixCiphertext":
+        """Sign-extend: one PBS computes the fill block (msg-1 if negative
+        else 0), replicated across the n new MSB blocks."""
+        from .signed import SignedRadixCiphertext
+
+        msg = self._msg
+        nb = a.num_blocks
+        top = _slice(a.blocks, nb - 1, nb)
+        fill_lut = self.key.generate_lookup_table(
+            lambda x: msg - 1 if (x % msg) >= msg // 2 else 0)
+        fill = self.key.apply_lookup_table_batch(top, fill_lut)
+        fills = _concat([fill] * n) if n else self._zeros(0)
+        return SignedRadixCiphertext(_concat([a.blocks, fills]))
+
+    def cast_to_unsigned(self, a: RadixCiphertext,
+                         target_blocks: int) -> RadixCiphertext:
+        """(ref: radix/mod.rs cast_to_unsigned; carries are cleaned first so
+        trimming/extension acts on true block values)"""
+        from .signed import SignedRadixCiphertext
+
+        blocks = a.blocks
+        if int(blocks.degrees.max(initial=0)) >= self._msg:
+            blocks = self.full_propagate(blocks)
+        clean = type(a)(blocks)
+        nb = clean.num_blocks
+        if target_blocks < nb:
+            return RadixCiphertext(
+                _slice(clean.blocks, 0, target_blocks))
+        if target_blocks == nb:
+            return RadixCiphertext(clean.blocks)
+        if isinstance(a, SignedRadixCiphertext):
+            wide = self.extend_radix_with_sign_msb(clean, target_blocks - nb)
+            return RadixCiphertext(wide.blocks)
+        return self.extend_radix_with_trivial_zero_blocks_msb(
+            RadixCiphertext(clean.blocks), target_blocks - nb)
+
+    def cast_to_signed(self, a: RadixCiphertext,
+                       target_blocks: int) -> "SignedRadixCiphertext":
+        from .signed import SignedRadixCiphertext
+
+        return SignedRadixCiphertext(
+            self.cast_to_unsigned(a, target_blocks).blocks)
+
+    # ------------------------------------------------------------------
     # scalar division by a clear constant: Granlund–Montgomery
     # multiply-shift on a widened radix (ref: radix_parallel/
     # scalar_div_mod.rs)

@@ -24,6 +24,7 @@ from .shortint_params import (
     PARAM_MESSAGE_4_CARRY_0_KS_PBS,
     PARAM_MESSAGE_4_CARRY_4_KS_PBS,
     PARAM_MESSAGE_2_CARRY_2_TEST,
+    PARAM_MESSAGE_1_CARRY_1_TEST,
     PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST,
     PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS,
     PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS,
@@ -57,6 +58,7 @@ __all__ = [
     "PARAM_MESSAGE_4_CARRY_0_KS_PBS",
     "PARAM_MESSAGE_4_CARRY_4_KS_PBS",
     "PARAM_MESSAGE_2_CARRY_2_TEST",
+    "PARAM_MESSAGE_1_CARRY_1_TEST",
     "PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST",
     "PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_KS_PBS",
     "PARAM_MESSAGE_2_CARRY_2_COMPACT_PK_PBS_KS",

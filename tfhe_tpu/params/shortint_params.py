@@ -147,6 +147,21 @@ PARAM_MESSAGE_2_CARRY_2_TEST = ClassicPBSParameters(
     carry_modulus=4,
 )
 
+PARAM_MESSAGE_1_CARRY_1_TEST = ClassicPBSParameters(
+    name="PARAM_MESSAGE_1_CARRY_1_TEST",
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_modular_std_dev=0.000007069849454709433,
+    glwe_modular_std_dev=0.00000000000000029403601535432533,
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=3,
+    ks_level=5,
+    message_modulus=2,
+    carry_modulus=2,
+)
+
 # Slightly larger insecure fixture (non-trivial LWE dimension) used by this
 # repo's own tests so the keyswitch/blind-rotation loops are exercised.
 PARAM_MESSAGE_2_CARRY_2_COMPACT_TEST = ClassicPBSParameters(

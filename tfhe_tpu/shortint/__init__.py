@@ -10,6 +10,11 @@ from .compressed import (
     encrypt_compressed_batch,
 )
 from .public_key import CompactCiphertextList, CompactPublicKey, PublicKey
+from .key_switching_key import (
+    KeySwitchingKey,
+    ShortintKeySwitchingParameters,
+    PARAM_KEYSWITCH_1_1_KS_PBS_TO_2_2_KS_PBS,
+)
 
 __all__ = [
     "CheckError",
@@ -26,4 +31,7 @@ __all__ = [
     "PublicKey",
     "CompactPublicKey",
     "CompactCiphertextList",
+    "KeySwitchingKey",
+    "ShortintKeySwitchingParameters",
+    "PARAM_KEYSWITCH_1_1_KS_PBS_TO_2_2_KS_PBS",
 ]
