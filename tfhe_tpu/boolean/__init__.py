@@ -101,7 +101,8 @@ class ServerKey:
             cks.big_sk, cks.lwe_sk, p.ks_base_log, p.ks_level,
             p.lwe_modular_std_dev, cks._enc_gen,
         )
-        self.bsk = core.prepare_bsk(bsk, p.pbs_base_log, bits=32)
+        # CRT-NTT domain (single 32-bit plane): exact, MXU-shaped
+        self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log, bits=32)
         self.ksk = core.prepare_ksk(ksk, p.ks_base_log, bits=32)
         acc = np.zeros((p.glwe_size, p.polynomial_size), dtype=np.uint32)
         acc[-1] = PLAINTEXT_TRUE

@@ -72,7 +72,7 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
             rotated = polymul.monomial_mul(acc, a_hat[:, None], N, bits=bits)
             ct1 = rotated - acc
             delta = external_product_ntt(
-                ct1, spec_i, shoup_i, bsk.base_log, bsk.levels
+                ct1, spec_i, shoup_i, bsk.base_log, bsk.levels, bits=bits
             )
             return acc + delta, None
 

@@ -38,39 +38,45 @@ def shoup_precompute_device(spec_list):
     return outs
 
 
-def key_to_spectra(key_polys) -> Tuple[Any, Any]:
-    """u64 key polynomials [..., N] -> (spectra, shoup) stacked [P, ..., 2, N].
+def key_to_spectra(key_polys, bits: int = 64) -> Tuple[Any, Any]:
+    """Torus key polynomials [..., N] -> (spectra, shoup) stacked
+    [P, ..., M, N] with M planes (two 32-bit planes for the u64 torus, one
+    for the u32 torus).
 
-    The torus coefficients split into two 32-bit planes before the NTT so
-    every per-plane convolution is exactly recoverable (< CRT/2).  The u64
+    Each per-plane convolution is exactly recoverable (< CRT/2).  The raw
     key ships to the device once; planes and spectra are computed there
     (the tunnel to the TPU is the bottleneck, not the transform).
     """
-    k = jnp.asarray(key_polys)  # u64 [..., N]
-    planes = jnp.stack(
-        [
-            ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
-            for s in ntt.TORUS_LIMB_SHIFTS
-        ],
-        axis=-2,
-    )  # [..., 2, N]
+    k = jnp.asarray(key_polys)
+    if bits == 64:
+        planes = jnp.stack(
+            [
+                ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(
+                    jnp.int64)
+                for s in ntt.TORUS_LIMB_SHIFTS
+            ],
+            axis=-2,
+        )  # [..., 2, N]
+    else:
+        planes = k.astype(jnp.int64)[..., None, :]  # [..., 1, N]
     spec_list = ntt.forward_ntt(planes)
     shoup_list = shoup_precompute_device(spec_list)
     return jnp.stack(spec_list), jnp.stack(shoup_list)
 
 
 def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
-                         levels: int):
+                         levels: int, bits: int = 64):
     """One blind-rotation step's GGSW external product, exactly.
 
-    acc_diff:  [B, G, N] u64  (ct1 = rotated - acc)
-    spec_step: [P, L, J=G, O=G, M=2, N] int32 balanced key spectra
+    acc_diff:  [B, G, N] uint  (ct1 = rotated - acc)
+    spec_step: [P, L, J=G, O=G, M, N] int32 balanced key spectra
     shoup_step: same shape, Shoup companions
-    -> [B, O, N] u64 delta to add to the accumulator.
+    -> [B, O, N] uint delta to add to the accumulator.
     """
     B, G, N = acc_diff.shape
+    M = spec_step.shape[-2]
     digits = decomposition.signed_decompose(
-        acc_diff, base_log, levels, bits=64
+        acc_diff, base_log, levels, bits=bits
     )  # [B, G, N, L] int32
     # fold (L, J): digits [B, L, J, N]; key [P, L*J, O, M, N]
     d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, levels * G, N)
@@ -79,8 +85,8 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
     LJ = levels * G
     prods = []
     for i, p in enumerate(ntt.PRIMES):
-        ks = spec_step[i].reshape(LJ, G, 2, N)
-        ksh = shoup_step[i].reshape(LJ, G, 2, N)
+        ks = spec_step[i].reshape(LJ, G, M, N)
+        ksh = shoup_step[i].reshape(LJ, G, M, N)
         a = dspec_list[i][:, :, None, None, :]  # [B, LJ, 1, 1, N]
         r = ntt.shoup_mul(a, ks[None], ksh[None], p)
         # sum over LJ: |sum| <= LJ * p fits int32 for LJ <= ~2^13
@@ -89,7 +95,9 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
 
     coeffs = ntt.inverse_ntt(prods)  # per prime [B, O, M, N]
     conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
-    return ntt.planes_to_u64(conv)  # [B, O, N]
+    if bits == 64:
+        return ntt.planes_to_u64(conv)  # [B, O, N]
+    return conv[..., 0, :].astype(jnp.uint32)  # exact value mod 2^32
 
 
 @dataclass
@@ -120,9 +128,8 @@ def prepare_bsk_ntt(bsk_standard: np.ndarray, base_log: int,
     """Standard-domain BSK [n, L, G(row j), G(poly o), N] u64 ->
     NTT-domain prepared key (the TPU analog of the reference's
     standard->Fourier conversion, ref: lwe_bootstrap_key_conversion.rs:21)."""
-    assert bits == 64, "NTT backend is u64-torus only"
     n, L, J, O, N = bsk_standard.shape
-    spec, shoup = key_to_spectra(bsk_standard)  # [P, n, L, J, O, 2, N]
+    spec, shoup = key_to_spectra(bsk_standard, bits=bits)  # [P,n,L,J,O,M,N]
     spec = jnp.moveaxis(spec, 0, 1)  # [n, P, L, J, O, 2, N]
     shoup = jnp.moveaxis(shoup, 0, 1)
     return PreparedBskNtt(

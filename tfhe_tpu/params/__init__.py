@@ -41,6 +41,7 @@ from .boolean_params import (
     PARAMETERS_ERROR_PROB_2_POW_MINUS_165_KS_PBS,
     TFHE_LIB_PARAMETERS,
     BOOLEAN_TEST_PARAMETERS,
+    BOOLEAN_SHA_TEST_PARAMETERS,
 )
 
 __all__ = [
@@ -73,4 +74,5 @@ __all__ = [
     "PARAMETERS_ERROR_PROB_2_POW_MINUS_165_KS_PBS",
     "TFHE_LIB_PARAMETERS",
     "BOOLEAN_TEST_PARAMETERS",
+    "BOOLEAN_SHA_TEST_PARAMETERS",
 ]

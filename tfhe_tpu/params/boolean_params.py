@@ -76,6 +76,21 @@ TFHE_LIB_PARAMETERS = BooleanParameters(
     encryption_key_choice=EncryptionKeyChoice.SMALL,
 )
 
+# Minimal insecure fixture for gate-heavy example tests (k=1, one level).
+BOOLEAN_SHA_TEST_PARAMETERS = BooleanParameters(
+    name="BOOLEAN_SHA_TEST_PARAMETERS",
+    lwe_dimension=8,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_modular_std_dev=0.0000000001,
+    glwe_modular_std_dev=0.00000000000000029403601535432533,
+    pbs_base_log=23,
+    pbs_level=1,
+    ks_base_log=4,
+    ks_level=3,
+    encryption_key_choice=EncryptionKeyChoice.SMALL,
+)
+
 # Insecure fixture parameters for fast tests (same shape of code path).
 BOOLEAN_TEST_PARAMETERS = BooleanParameters(
     name="BOOLEAN_TEST_PARAMETERS",
