@@ -9,6 +9,7 @@ contract (128-bit security, failure probability <= 2^-40) and the test vectors.
 
 from .types import (
     ClassicPBSParameters,
+    WopbsParameters,
     BooleanParameters,
     MultiBitPBSParameters,
     EncryptionKeyChoice,
@@ -31,6 +32,8 @@ from .shortint_params import (
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS,
     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST,
+    WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+    WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST,
     ALL_PARAMETER_SETS,
     get_parameters,
 )
@@ -66,6 +69,9 @@ __all__ = [
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS",
     "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST",
+    "WopbsParameters",
+    "WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS",
+    "WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST",
     "ALL_PARAMETER_SETS",
     "get_parameters",
     "DEFAULT_PARAMETERS",

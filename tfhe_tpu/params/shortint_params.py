@@ -6,7 +6,8 @@ Values reproduced from the reference's constants
  tfhe/examples/fhe_strings/ciphertext.rs:75-105 for the insecure TEST set).
 """
 
-from .types import ClassicPBSParameters, MultiBitPBSParameters, EncryptionKeyChoice
+from .types import (ClassicPBSParameters, MultiBitPBSParameters,
+                    EncryptionKeyChoice, WopbsParameters)
 
 PARAM_MESSAGE_1_CARRY_0_KS_PBS = ClassicPBSParameters(
     name="PARAM_MESSAGE_1_CARRY_0_KS_PBS",
@@ -261,6 +262,49 @@ PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST = MultiBitPBSParameters(
     message_modulus=4,
     carry_modulus=4,
     grouping_factor=2,
+)
+
+# WoPBS parameter sets (ref: shortint/parameters/
+# parameters_wopbs_message_carry.rs:432-451)
+WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS = WopbsParameters(
+    name="WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS",
+    lwe_dimension=769,
+    glwe_dimension=1,
+    polynomial_size=2048,
+    lwe_modular_std_dev=0.0000043131554647504185,
+    glwe_modular_std_dev=0.00000000000000029403601535432533,
+    pbs_base_log=15,
+    pbs_level=2,
+    ks_base_log=6,
+    ks_level=2,
+    pfks_base_log=15,
+    pfks_level=2,
+    pfks_modular_std_dev=0.00000000000000029403601535432533,
+    cbs_base_log=5,
+    cbs_level=3,
+    message_modulus=4,
+    carry_modulus=4,
+)
+
+# Insecure toy WoPBS fixture for fast tests.
+WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST = WopbsParameters(
+    name="WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST",
+    lwe_dimension=16,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_modular_std_dev=0.0000000001,
+    glwe_modular_std_dev=0.00000000000000029403601535432533,
+    pbs_base_log=15,
+    pbs_level=2,
+    ks_base_log=6,
+    ks_level=2,
+    pfks_base_log=15,
+    pfks_level=2,
+    pfks_modular_std_dev=0.00000000000000029403601535432533,
+    cbs_base_log=6,
+    cbs_level=2,
+    message_modulus=4,
+    carry_modulus=4,
 )
 
 ALL_PARAMETER_SETS = {

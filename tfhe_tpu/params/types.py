@@ -119,6 +119,40 @@ class MultiBitPBSParameters:
 
 
 @dataclass(frozen=True)
+class WopbsParameters:
+    """Without-padding-PBS parameters
+    (ref: shortint/parameters/mod.rs WopbsParameters)."""
+
+    name: str
+    lwe_dimension: int
+    glwe_dimension: int
+    polynomial_size: int
+    lwe_modular_std_dev: float
+    glwe_modular_std_dev: float
+    pbs_base_log: int
+    pbs_level: int
+    ks_base_log: int
+    ks_level: int
+    pfks_base_log: int
+    pfks_level: int
+    pfks_modular_std_dev: float
+    cbs_base_log: int
+    cbs_level: int
+    message_modulus: int
+    carry_modulus: int
+    encryption_key_choice: EncryptionKeyChoice = EncryptionKeyChoice.BIG
+    torus_bits: int = 64
+
+    glwe_size = ClassicPBSParameters.glwe_size
+    big_lwe_dimension = ClassicPBSParameters.big_lwe_dimension
+    pbs_order = ClassicPBSParameters.pbs_order
+    total_modulus = ClassicPBSParameters.total_modulus
+    delta = ClassicPBSParameters.delta
+    max_degree = ClassicPBSParameters.max_degree
+    ciphertext_lwe_size = ClassicPBSParameters.ciphertext_lwe_size
+
+
+@dataclass(frozen=True)
 class BooleanParameters:
     """Boolean-scheme parameters over the u32 torus.
 

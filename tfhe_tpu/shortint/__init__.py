@@ -10,6 +10,7 @@ from .compressed import (
     encrypt_compressed_batch,
 )
 from .public_key import CompactCiphertextList, CompactPublicKey, PublicKey
+from .wopbs import ShortintWopbsLUT, WopbsKey, gen_keys_wopbs
 from .key_switching_key import (
     KeySwitchingKey,
     ShortintKeySwitchingParameters,
@@ -32,6 +33,9 @@ __all__ = [
     "CompactPublicKey",
     "CompactCiphertextList",
     "KeySwitchingKey",
+    "WopbsKey",
+    "ShortintWopbsLUT",
+    "gen_keys_wopbs",
     "ShortintKeySwitchingParameters",
     "PARAM_KEYSWITCH_1_1_KS_PBS_TO_2_2_KS_PBS",
 ]
