@@ -56,3 +56,23 @@ def test_wopbs_after_arithmetic(keys):
     lut = wk.generate_lut_full_domain(lambda x: x % 4)
     out = wk.wopbs_batch(s, lut)
     assert cks.decrypt_batch(out)[0] == 6 % 4
+
+
+# -- integer-level wopbs (ref: tfhe/src/integer/wopbs/mod.rs tests) ---------
+
+
+def test_integer_wopbs(keys):
+    from tfhe_tpu.integer import IntegerWopbsKey, RadixClientKey
+
+    cks, sks, wk = keys
+    rck = RadixClientKey.__new__(RadixClientKey)
+    rck.key = cks  # reuse the wopbs client key so the same server keys apply
+    rck.num_blocks = 2
+    rck.params = P
+    iwk = IntegerWopbsKey(wk)
+    modulus = 16
+
+    ct = rck.encrypt(11)
+    lut = iwk.generate_lut(ct, lambda x: (x * 3 + 5) % modulus)
+    out = iwk.wopbs(ct, lut)
+    assert rck.decrypt(out) == (11 * 3 + 5) % modulus

@@ -8,6 +8,7 @@ from .ciphertext import BooleanBlock, RadixCiphertext
 from .client_key import RadixClientKey
 from .server_key import IntegerServerKey
 from .signed import SignedRadixCiphertext
+from .wopbs import IntegerWopbsKey, IntegerWopbsLUT
 from .crt import (
     CrtCiphertext,
     CrtClientKey,
@@ -26,6 +27,8 @@ def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
 
 
 __all__ = [
+    "IntegerWopbsKey",
+    "IntegerWopbsLUT",
     "CrtCiphertext",
     "CrtClientKey",
     "CrtServerKey",
