@@ -1,0 +1,132 @@
+"""Extended benchmark suite: one criterion-style JSON line per metric.
+
+Covers the reference's bench families (ref: tfhe/benches/ —
+core_crypto/pbs_bench.rs incl PBS_throughput, shortint/bench.rs,
+boolean/bench.rs, integer/bench.rs; JSON schema mirrors
+ci/benchmark_parser.py:40-60 so its dashboard tooling can ingest records).
+
+Usage:
+    python bench_suite.py            # toy params (CPU-safe, CI)
+    BENCH_REAL=1 python bench_suite.py   # 128-bit-secure params (TPU)
+
+The headline driver benchmark stays in bench.py; this suite adds breadth:
+boolean gate latency, shortint ks+pbs latency/throughput vs batch,
+FheUint32 add/mul/eq, and strings contains.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _record(name, value, unit, baseline_ms=None, **extra):
+    rec = {"name": name, "value": round(value, 4), "unit": unit}
+    if baseline_ms is not None and unit == "ms":
+        # published tfhe-rs numbers on m6i.metal (BASELINE.md)
+        rec["vs_baseline_speedup"] = round(baseline_ms / value, 3)
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _time(fn, iters=3):
+    fn()  # warm/compile
+    t0 = time.time()
+    for _ in range(iters):
+        fn()
+    return (time.time() - t0) / iters
+
+
+def bench_boolean(real: bool):
+    from tfhe_tpu import boolean
+    from tfhe_tpu.params import (BOOLEAN_TEST_PARAMETERS,
+                                 DEFAULT_PARAMETERS_KS_PBS)
+
+    params = DEFAULT_PARAMETERS_KS_PBS if real else BOOLEAN_TEST_PARAMETERS
+    cks, sks = boolean.gen_keys(params, seed=1)
+    a = cks.encrypt_batch(np.ones(64, dtype=bool))
+    b = cks.encrypt_batch(np.zeros(64, dtype=bool))
+    dt = _time(lambda: sks.and_batch(a, b))
+    _record(f"boolean_gate_batch64::{params.name}", dt * 1e3, "ms",
+            baseline_ms=9.19 * 64)  # baseline: 9.19 ms per scalar gate
+    _record(f"boolean_gates_per_sec::{params.name}", 64 / dt, "gates/s")
+
+
+def bench_shortint(real: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core import keyswitch_then_pbs
+    from tfhe_tpu.params import (PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+                                 PARAM_MESSAGE_2_CARRY_2_TEST)
+
+    params = PARAM_MESSAGE_2_CARRY_2_KS_PBS if real \
+        else PARAM_MESSAGE_2_CARRY_2_TEST
+    cks, sks = shortint.gen_keys(params, seed=2, cache_dir=".keycache")
+    lut = sks.generate_lookup_table(lambda x: (3 * x) % 4)
+    fn = jax.jit(keyswitch_then_pbs)
+    for batch in (64, 256):
+        ct = cks.encrypt_batch(np.arange(batch) % 4)
+        data = jnp.asarray(ct.data)
+        dt = _time(lambda: jax.block_until_ready(
+            fn(sks.ksk, sks.bsk, lut.acc, data)))
+        _record(f"shortint_ks_pbs_batch{batch}::{params.name}",
+                batch / dt, "PBS/s", batch=batch,
+                latency_ms=round(dt * 1e3, 2))
+
+
+def bench_integer(real: bool):
+    from tfhe_tpu import api
+    from tfhe_tpu.params import (PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+                                 PARAM_MESSAGE_2_CARRY_2_TEST)
+
+    params = PARAM_MESSAGE_2_CARRY_2_KS_PBS if real \
+        else PARAM_MESSAGE_2_CARRY_2_TEST
+    config = api.ConfigBuilder.default().use_custom_parameters(params).build()
+    cks, sks = api.generate_keys(config, seed=3)
+    api.set_server_key(sks)
+    a = api.FheUint32.encrypt(123456789, cks)
+    b = api.FheUint32.encrypt(987654, cks)
+    for opname, fn, baseline in [
+        ("add", lambda: a + b, 132.0),
+        ("mul", lambda: a * b, 333.0),
+        ("eq", lambda: a.eq(b), 57.4),
+    ]:
+        dt = _time(fn, iters=2)
+        _record(f"fheuint32_{opname}::{params.name}", dt * 1e3, "ms",
+                baseline_ms=baseline)
+
+
+def bench_strings(real: bool):
+    from tfhe_tpu import strings
+
+    if real:
+        from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
+        cks, sks = strings.gen_keys(P, seed=4)
+        tag = P.name
+    else:
+        cks, sks = strings.gen_keys_test(seed=4)
+        tag = "TEST"
+    s = cks.encrypt_str("hello world")
+    pat = cks.encrypt_str("world")
+    dt = _time(lambda: sks.contains(s, pat), iters=2)
+    _record(f"strings_contains_len11::{tag}", dt * 1e3, "ms",
+            baseline_ms=78.6)  # find("foo","oo") example output
+
+
+def main():
+    real = bool(os.environ.get("BENCH_REAL"))
+    for b in (bench_boolean, bench_shortint, bench_integer, bench_strings):
+        try:
+            b(real)
+        except Exception as e:  # keep the suite running
+            print(json.dumps({"name": b.__name__, "error": repr(e)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
 """Utility subsystems: serialization, conformance, key caching."""
 
+from .keycache import KeyCache, KEY_CACHE
+from .profiling import OpTimer, annotate, trace
 from .serialization import (
     ConformanceError,
     DeserializationError,
@@ -10,6 +12,11 @@ from .serialization import (
 )
 
 __all__ = [
+    "KeyCache",
+    "KEY_CACHE",
+    "OpTimer",
+    "annotate",
+    "trace",
     "ConformanceError",
     "DeserializationError",
     "safe_serialize",
