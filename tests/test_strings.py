@@ -122,3 +122,33 @@ def test_len_is_empty(keys):
     assert sks.len_(cks.encrypt_str("hello")) == 5
     assert db(cks, sks.is_empty(cks.encrypt_str(""))) is True
     assert db(cks, sks.is_empty(cks.encrypt_str_padding("a", 1))) is False
+
+
+# -- accessors (ref: accessors.rs, substring.rs encrypted-range) ------------
+
+
+def test_nth_clear(keys):
+    cks, sks = keys
+    s = cks.encrypt_str_random_padding("hello!", 2)
+    for n in (0, 2, 5, 7):
+        v = cks.integer_key.decrypt(sks.nth_clear(s, n).ct)
+        assert v == (ord("hello!"[n]) if n < 6 else 0)
+
+
+def test_nth_encrypted(keys):
+    cks, sks = keys
+    s = cks.encrypt_str_random_padding("hello!", 2)
+    for n in (1, 4, 6):
+        enc = cks.integer_key.encrypt(n)
+        v = cks.integer_key.decrypt(sks.nth_encrypted(s, enc).ct)
+        assert v == (ord("hello!"[n]) if n < 6 else 0)
+
+
+def test_substring_encrypted(keys):
+    cks, sks = keys
+    ik = cks.integer_key
+    s = cks.encrypt_str_random_padding("hello!", 2)
+    for (a, b, want) in [(1, 4, "ell"), (0, 6, "hello!"), (2, 15, "llo!"),
+                         (4, 2, ""), (3, 3, "")]:
+        sub = sks.substring_encrypted(s, ik.encrypt(a), ik.encrypt(b))
+        assert cks.decrypt_string(sub) == want, (a, b)

@@ -558,6 +558,134 @@ class StringServerKey(SplitOps):
             padding = Padding.FINAL
         return FheString(content=content, padding=padding, length=length)
 
+    # -- accessors (ref: accessors.rs:9-113, substring.rs:59-152) -----
+
+    def nth_clear(self, s: FheString, n: int) -> FheAsciiChar:
+        """The n-th character (zero char when out of range)
+        (ref: accessors.rs nth_clear)."""
+        s = self._with_final_padding(s)
+        if n >= s.max_len:
+            return FheAsciiChar(RadixCiphertext(self._trivial_chars([0])))
+        return FheAsciiChar(RadixCiphertext(
+            _take(s.content[n].ct.blocks, list(range(self.nb)))))
+
+    def nth_encrypted(self, s: FheString, n: RadixCiphertext) -> FheAsciiChar:
+        """Character at an encrypted index: one batched index-equality over
+        every position and a weighted select (ref: accessors.rs
+        nth_encrypted — the reference's per-position loop becomes two
+        fused PBS batches)."""
+        s = self._with_final_padding(s)
+        ln = s.max_len
+        stack = self._content_stack(s)
+        idx_stack = self._trivial_chars(list(range(ln)))
+        n_rep = _take(n.blocks, list(np.tile(np.arange(self.nb), ln)))
+        eqs = self._char_eq(idx_stack, n_rep, ln)  # [ln] bools
+        c = self._repeat_bool_per_block(eqs)
+        pick_lut = self.sks.generate_lookup_table_bivariate(
+            lambda cc, x: x if cc else 0)
+        masked = self.sks.unchecked_bivariate_batch(c, stack, pick_lut)
+        # exactly one position matches: plain block-wise sum, then clean
+        data = np.asarray(masked.data).reshape(ln, self.nb, -1)
+        with np.errstate(over="ignore"):
+            acc = data.sum(axis=0, dtype=np.uint64)
+        summed = ShortintBatch(
+            data=acc,
+            degrees=np.full(self.nb, min(int(masked.degrees.max(initial=0))
+                                         * 1, self.msg - 1), dtype=np.int64),
+            message_modulus=self.msg,
+            carry_modulus=masked.carry_modulus,
+        )
+        return FheAsciiChar(RadixCiphertext(
+            self.sks.message_extract_batch(summed)))
+
+    def _shift_chars_left_encrypted(self, stack: ShortintBatch, ln: int,
+                                    amount: RadixCiphertext) -> ShortintBatch:
+        """Barrel shift of the char stack by an encrypted amount: one
+        4-way select per radix digit of the amount (batched bivariate
+        PBS), zero-filling past the end."""
+        sks = self.sks
+        msg = self.msg
+        cur = stack
+        digit = 0
+        while msg ** digit < ln:
+            weight = msg ** digit
+            blk = _take(amount.blocks, [digit]) if digit < amount.num_blocks \
+                else None
+            if blk is None:
+                break
+            parts = []
+            for d in range(msg):
+                shift = d * weight
+                data = np.asarray(cur.data).reshape(ln, self.nb, -1)
+                if shift == 0:
+                    rolled = data
+                else:
+                    zero = np.asarray(
+                        self._trivial_chars([0] * min(shift, ln)).data
+                    ).reshape(-1, self.nb, data.shape[-1])
+                    rolled = np.concatenate([data[shift:], zero], axis=0) \
+                        if shift < ln else np.broadcast_to(
+                            zero[:1], data.shape)
+                rolled_b = ShortintBatch(
+                    data=np.ascontiguousarray(rolled).reshape(
+                        ln * self.nb, -1),
+                    degrees=np.full(ln * self.nb, msg - 1, dtype=np.int64),
+                    message_modulus=msg, carry_modulus=cur.carry_modulus,
+                )
+                eq_lut = sks.generate_lookup_table_bivariate(
+                    lambda b_, x, d_=d: x if (b_ % msg) == d_ else 0)
+                cond = _take(blk, [0] * (ln * self.nb))
+                parts.append(sks.unchecked_bivariate_batch(
+                    cond, rolled_b, eq_lut))
+            with np.errstate(over="ignore"):
+                acc_data = np.sum([np.asarray(p.data) for p in parts],
+                                  axis=0, dtype=np.uint64)
+            summed = ShortintBatch(
+                data=acc_data,
+                degrees=np.full(ln * self.nb, msg - 1, dtype=np.int64),
+                message_modulus=msg, carry_modulus=cur.carry_modulus,
+            )
+            cur = sks.message_extract_batch(summed)
+            digit += 1
+        return cur
+
+    def substring_encrypted(self, s: FheString, start: RadixCiphertext,
+                            end: RadixCiphertext) -> FheString:
+        """s[start..end] with encrypted bounds (ref: substring.rs
+        substring_encrypted:59-116)."""
+        ik = self.integer_key
+        s = self._with_final_padding(s)
+        ln = s.max_len
+        stack = self._content_stack(s)
+        shifted = self._shift_chars_left_encrypted(stack, ln, start)
+
+        # keep position i iff i < end - start (saturating)
+        ge = ik.ge_parallelized(end, start)
+        diff = ik.sub_parallelized(end, start)
+        zero = ik.create_trivial_radix(0, self.nb)
+        keep_len = ik.if_then_else_parallelized(ge, diff, zero)
+        idx_stack = self._trivial_chars(list(range(ln)))
+        keep_rep = _take(keep_len.blocks,
+                         list(np.tile(np.arange(self.nb), ln)))
+        signs = self._char_signs(idx_stack, keep_rep, ln)  # 1 means i < keep
+        drop_lut = self.sks.generate_lookup_table(lambda x: int(x != 1))
+        drop = self.sks.apply_lookup_table_batch(signs, drop_lut)
+        masked = self._char_zero_if(drop, shifted)
+
+        # length = clamp(min(end, len) - start, 0)
+        len_radix = self._length_radix(s)
+        over = ik.gt_parallelized(end, len_radix)
+        e = ik.if_then_else_parallelized(over, len_radix, end)
+        ge2 = ik.ge_parallelized(e, start)
+        d2 = ik.sub_parallelized(e, start)
+        length = ik.if_then_else_parallelized(ge2, d2, zero)
+        return FheString(
+            content=[FheAsciiChar(c)
+                     for c in self._unstack(masked, ln)],
+            padding=Padding.FINAL,
+            length=length,
+        )
+
     # -- trim family (ref: trim.rs) -----------------------------------
 
     _WHITESPACE = (9, 10, 11, 12, 13, 32)
