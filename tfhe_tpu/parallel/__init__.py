@@ -20,6 +20,11 @@ from .sharding import (
     shard_server_key,
 )
 from .fused import fused_ks_pbs, fused_radix_add, make_sharded_radix_add
+from .checkpoint import (
+    CheckpointManager,
+    DeviceFailure,
+    ResumableBatchRunner,
+)
 
 __all__ = [
     "create_mesh",
@@ -33,4 +38,7 @@ __all__ = [
     "fused_ks_pbs",
     "fused_radix_add",
     "make_sharded_radix_add",
+    "CheckpointManager",
+    "DeviceFailure",
+    "ResumableBatchRunner",
 ]
