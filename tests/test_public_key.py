@@ -147,3 +147,26 @@ def test_hl_compact_fheint(hl_keys):
     assert type(val) is api.FheInt8
     assert val.decrypt(cks) == -77
     assert (val + 7).decrypt(cks) == -70
+
+
+def test_compressed_public_key(keys):
+    cks, _ = keys
+    comp = shortint.CompressedPublicKey(cks)
+    back = safe_deserialize(safe_serialize(comp))
+    pk = back.decompress()
+    msgs = np.array([1, 3], dtype=np.uint64)
+    np.testing.assert_array_equal(
+        cks.decrypt_batch(pk.encrypt_batch(msgs, seed=12)), msgs)
+    # seeded form is ~(n+1)x smaller than the full key
+    full = safe_serialize(pk)
+    assert len(safe_serialize(comp)) < len(full) // 4
+
+
+def test_compressed_compact_public_key(keys):
+    cks, _ = keys
+    comp = shortint.CompressedCompactPublicKey(cks)
+    back = safe_deserialize(safe_serialize(comp))
+    cpk = back.decompress()
+    msgs = np.array([2, 0, 3], dtype=np.uint64)
+    np.testing.assert_array_equal(
+        cks.decrypt_batch(cpk.encrypt_batch(msgs, seed=13)), msgs)

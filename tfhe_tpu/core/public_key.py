@@ -142,6 +142,46 @@ def encrypt_lwe_with_public_key(
     return out
 
 
+@dataclass
+class SeededLwePublicKey:
+    """Compressed standard PK: bodies only + the public mask seed
+    (ref: entities/seeded_lwe_public_key.rs,
+     algorithms/seeded_lwe_public_key_decompression.rs)."""
+
+    bodies: np.ndarray  # [count]
+    mask_seed: int
+    lwe_dimension: int
+    bits: int = 64
+
+
+def generate_seeded_lwe_public_key(
+    sk: LweSecretKey,
+    zero_encryption_count: int,
+    std: float,
+    seeder,
+) -> SeededLwePublicKey:
+    from ..core.seeded import encrypt_seeded_lwe
+
+    mask_seed = seeder.seed()
+    gen = EncryptionRandomGenerator(mask_seed, seeder)
+    zeros = np.zeros(zero_encryption_count, dtype=_np_udtype(sk.bits))
+    seeded = encrypt_seeded_lwe(sk, zeros, std, mask_seed, gen)
+    return SeededLwePublicKey(
+        bodies=seeded.bodies, mask_seed=mask_seed,
+        lwe_dimension=sk.lwe_dimension, bits=sk.bits,
+    )
+
+
+def decompress_lwe_public_key(seeded: SeededLwePublicKey) -> LwePublicKey:
+    from ..core.seeded import SeededLweBatch, decompress_seeded_lwe
+
+    full = decompress_seeded_lwe(SeededLweBatch(
+        bodies=seeded.bodies, mask_seed=seeded.mask_seed,
+        lwe_dimension=seeded.lwe_dimension, bits=seeded.bits,
+    ))
+    return LwePublicKey(zero_encs=full, bits=seeded.bits)
+
+
 # ---------------------------------------------------------------------------
 # compact public key
 # ---------------------------------------------------------------------------
@@ -192,6 +232,42 @@ def generate_lwe_compact_public_key(
         body = semi_reverse_negacyclic_conv(mask, sk.bits_array, bits=bits)
         body = body + gen.random_noise(n, std, bits=bits)
     return LweCompactPublicKey(mask=mask, body=body, bits=bits)
+
+
+@dataclass
+class SeededLweCompactPublicKey:
+    """Compressed compact PK: the mask regenerates from the seed, so only
+    the body ships (ref: entities/seeded_lwe_compact_public_key.rs,
+     lwe_compact_public_key_generation.rs:80-140 seeded variant)."""
+
+    body: np.ndarray
+    mask_seed: int
+    bits: int = 64
+
+
+def generate_seeded_lwe_compact_public_key(
+    sk: LweSecretKey,
+    std: float,
+    seeder,
+) -> SeededLweCompactPublicKey:
+    mask_seed = seeder.seed()
+    gen = EncryptionRandomGenerator(mask_seed, seeder)
+    pk = generate_lwe_compact_public_key(sk, std, gen)
+    return SeededLweCompactPublicKey(body=pk.body, mask_seed=mask_seed,
+                                     bits=sk.bits)
+
+
+def decompress_lwe_compact_public_key(
+    seeded: SeededLweCompactPublicKey,
+) -> LweCompactPublicKey:
+    from ..prng import sampling
+    from ..prng.stream import AesCtrStream
+
+    n = seeded.body.shape[0]
+    mask = sampling.uniform_torus(AesCtrStream(seeded.mask_seed), n,
+                                  bits=seeded.bits)
+    return LweCompactPublicKey(mask=mask, body=seeded.body,
+                               bits=seeded.bits)
 
 
 def encrypt_compact_lwe_list(

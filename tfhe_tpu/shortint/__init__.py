@@ -9,7 +9,13 @@ from .compressed import (
     CompressedServerKey,
     encrypt_compressed_batch,
 )
-from .public_key import CompactCiphertextList, CompactPublicKey, PublicKey
+from .public_key import (
+    CompactCiphertextList,
+    CompactPublicKey,
+    CompressedCompactPublicKey,
+    CompressedPublicKey,
+    PublicKey,
+)
 from .wopbs import ShortintWopbsLUT, WopbsKey, gen_keys_wopbs
 from .key_switching_key import (
     KeySwitchingKey,
@@ -32,6 +38,8 @@ __all__ = [
     "PublicKey",
     "CompactPublicKey",
     "CompactCiphertextList",
+    "CompressedPublicKey",
+    "CompressedCompactPublicKey",
     "KeySwitchingKey",
     "WopbsKey",
     "ShortintWopbsLUT",

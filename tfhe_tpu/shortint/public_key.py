@@ -98,6 +98,44 @@ class CompactPublicKey:
         )
 
 
+class CompressedPublicKey:
+    """Seeded standard public key — only zero-encryption bodies travel
+    (ref: shortint/public_key/compressed.rs)."""
+
+    def __init__(self, cks: ClientKey):
+        p = cks.params
+        self.params = p
+        sk, std = cks.encryption_key_and_noise
+        count = core_pk.public_key_zero_encryption_count(
+            sk.lwe_dimension + 1, p.torus_bits)
+        self.seeded = core_pk.generate_seeded_lwe_public_key(
+            sk, count, std, cks._seeder)
+
+    def decompress(self) -> PublicKey:
+        self_pk = PublicKey.__new__(PublicKey)
+        self_pk.params = self.params
+        self_pk.key = core_pk.decompress_lwe_public_key(self.seeded)
+        return self_pk
+
+
+class CompressedCompactPublicKey:
+    """Seeded compact public key (ref: shortint/public_key/
+    compact.rs CompressedCompactPublicKey)."""
+
+    def __init__(self, cks: ClientKey):
+        p = cks.params
+        self.params = p
+        sk, std = cks.encryption_key_and_noise
+        self.seeded = core_pk.generate_seeded_lwe_compact_public_key(
+            sk, std, cks._seeder)
+
+    def decompress(self) -> CompactPublicKey:
+        pk = CompactPublicKey.__new__(CompactPublicKey)
+        pk.params = self.params
+        pk.key = core_pk.decompress_lwe_compact_public_key(self.seeded)
+        return pk
+
+
 class CompactCiphertextList:
     """Compact list of fresh shortint encryptions; `expand()` yields the
     working ShortintBatch (ref: shortint/ciphertext/mod.rs

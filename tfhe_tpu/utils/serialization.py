@@ -408,6 +408,50 @@ def _register_all() -> None:
     register_adapter(CompactPublicKey, "shortint.CompactPublicKey",
                      _cpk_state, _cpk_from)
 
+    from ..shortint.public_key import (
+        CompressedCompactPublicKey, CompressedPublicKey,
+    )
+    from ..core.public_key import SeededLwePublicKey, SeededLweCompactPublicKey
+
+    def _comp_pk_state(pk):
+        return (
+            {"params": _params_to_meta(pk.params),
+             "mask_seed": str(pk.seeded.mask_seed),
+             "lwe_dimension": pk.seeded.lwe_dimension},
+            {"bodies": pk.seeded.bodies},
+        )
+
+    def _comp_pk_from(meta, arrays):
+        self = CompressedPublicKey.__new__(CompressedPublicKey)
+        self.params = _params_from_meta(meta["params"])
+        self.seeded = SeededLwePublicKey(
+            bodies=arrays["bodies"], mask_seed=int(meta["mask_seed"]),
+            lwe_dimension=meta["lwe_dimension"],
+            bits=self.params.torus_bits)
+        return self
+
+    register_adapter(CompressedPublicKey, "shortint.CompressedPublicKey",
+                     _comp_pk_state, _comp_pk_from)
+
+    def _comp_cpk_state(pk):
+        return (
+            {"params": _params_to_meta(pk.params),
+             "mask_seed": str(pk.seeded.mask_seed)},
+            {"body": pk.seeded.body},
+        )
+
+    def _comp_cpk_from(meta, arrays):
+        self = CompressedCompactPublicKey.__new__(CompressedCompactPublicKey)
+        self.params = _params_from_meta(meta["params"])
+        self.seeded = SeededLweCompactPublicKey(
+            body=arrays["body"], mask_seed=int(meta["mask_seed"]),
+            bits=self.params.torus_bits)
+        return self
+
+    register_adapter(CompressedCompactPublicKey,
+                     "shortint.CompressedCompactPublicKey",
+                     _comp_cpk_state, _comp_cpk_from)
+
     register_adapter(
         CompactCiphertextList, "shortint.CompactCiphertextList",
         lambda c: (
