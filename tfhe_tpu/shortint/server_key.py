@@ -147,12 +147,31 @@ class ServerKey:
     # ------------------------------------------------------------------
 
     def _pbs(self, data: np.ndarray, acc) -> np.ndarray:
+        """One fused keyswitch+bootstrap device call over a batch.
+
+        Batch sizes are padded up to power-of-two buckets so arbitrary
+        scheme-level batch shapes (string ops produce many) reuse a handful
+        of compiled programs — compile-cache hygiene that also keeps XLA
+        shapes stable on TPU."""
+        data = np.asarray(data)
+        B = data.shape[0]
+        bucket = 1 << max(3, (B - 1).bit_length())
+        acc_arr = acc
+        if bucket != B:
+            pad = bucket - B
+            data = np.concatenate(
+                [data, np.broadcast_to(data[:1], (pad,) + data.shape[1:])])
+            a = np.asarray(acc)
+            if a.ndim == 3:  # per-element accumulators [B, G, N]
+                acc_arr = jnp.asarray(np.concatenate(
+                    [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])]))
         ct = jnp.asarray(data)
         if self.params.pbs_order is PBSOrder.KEYSWITCH_BOOTSTRAP:
             fn = _ks_mb_pbs_jit if self.is_multi_bit else _ks_pbs_jit
         else:
             fn = _mb_pbs_ks_jit if self.is_multi_bit else _pbs_ks_jit
-        return np.asarray(fn(self.ksk, self.bsk, acc, ct))
+        out = np.asarray(fn(self.ksk, self.bsk, acc_arr, ct))
+        return out[:B]
 
     def apply_lookup_table_batch(self, batch: ShortintBatch,
                                  lut: LookupTable) -> ShortintBatch:

@@ -867,12 +867,29 @@ class StringServerKey(SplitOps):
     #    of batched cmux) --
 
     def push_padding_to_end(self, s: FheString) -> FheString:
-        n = s.max_len
-        if n <= 1 or s.padding in (Padding.NONE, Padding.FINAL):
+        """Compact non-zero chars to the front, padding zeros to the end
+        (ref: change_padding.rs push_padding_to_end).
+
+        Two TPU/CPU strategies, picked by backend: the position-matrix
+        compaction (few huge fused batches — optimal where lanes are free,
+        i.e. real TPU hardware) and an odd-even transposition pass (more,
+        smaller batches — cheaper on the CPU test backend where per-lane
+        compute dominates)."""
+        import jax
+
+        if s.padding in (Padding.NONE, Padding.FINAL) or s.max_len <= 1:
             out = s.copy()
             if out.padding not in (Padding.NONE, Padding.FINAL):
                 out.padding = Padding.FINAL
             return out
+        if jax.default_backend() == "cpu":
+            return self._push_padding_bubble(s)
+        return self._push_padding_compact(s)
+
+    def _push_padding_bubble(self, s: FheString) -> FheString:
+        """O(n) phases of pairwise zero-bubbling (mirrors the reference's
+        cmux chains, batched per phase)."""
+        n = s.max_len
         stack = self._content_stack(s)
         zero_chars = self._trivial_chars([0] * n)
         for phase in range(n):
@@ -888,7 +905,6 @@ class StringServerKey(SplitOps):
                                              arr[:len(li)].ravel()), len(li))
             new_l = self._char_cmux(iz, rstack, lstack)
             new_r = self._char_zero_if(iz, rstack)
-            # write back
             data = stack.data.copy()
             degs = stack.degrees.copy()
             noise = stack.noise.copy()
@@ -902,6 +918,84 @@ class StringServerKey(SplitOps):
                                   stack.carry_modulus, noise)
         return FheString(
             content=[FheAsciiChar(c) for c in self._unstack(stack, n)],
+            padding=Padding.FINAL,
+            length=(s.length if isinstance(s.length, int)
+                    else s.length.copy()),
+        )
+
+    def _push_padding_compact(self, s: FheString) -> FheString:
+        """Target position of each char = exclusive prefix count of
+        non-padding chars (log-depth batched scan), then one n x n
+        position-match matrix and one batched select gather every char to
+        its slot — ~20 large fused PBS batches regardless of length.
+        Padding chars contribute 0 to every slot, so no masking is needed
+        beyond the zero chars themselves."""
+        n = s.max_len
+        sks = self.sks
+        nb = self.nb
+        ik = self.integer_key
+        stack = self._content_stack(s)
+
+        # 1. per-char non-zero bit
+        zero_chars = self._trivial_chars([0] * n)
+        iz = self._char_eq(stack, zero_chars, n)           # [n] bools
+        nz_lut = sks.generate_lookup_table(lambda x: 1 - (x % 2))
+        nz = sks.apply_lookup_table_batch(iz, nz_lut)      # [n] bools
+
+        # 2. exclusive prefix count of non-zeros as per-char radix values
+        vals = sks.trivial_batch(np.zeros(n * nb, dtype=_U64), n * nb)
+        arr = np.arange(n * nb).reshape(n, nb)
+        vals.data[arr[:, 0]] = nz.data
+        vals.degrees[arr[:, 0]] = nz.degrees
+        vals.noise[arr[:, 0]] = nz.noise
+        # shift down by one char for the exclusive scan
+        data = np.roll(vals.data, nb, axis=0)
+        data[:nb] = sks.trivial_batch(np.zeros(nb, dtype=_U64), nb).data
+        degs = np.roll(vals.degrees, nb)
+        degs[:nb] = 0
+        noise = np.roll(vals.noise, nb)
+        noise[:nb] = 1
+        pos = ShortintBatch(data, degs, vals.message_modulus,
+                            vals.carry_modulus, noise)
+        d = 1
+        while d < n:
+            shifted = np.roll(pos.data, d * nb, axis=0).copy()
+            shifted[:d * nb] = 0
+            sdegs = np.roll(pos.degrees, d * nb).copy()
+            sdegs[:d * nb] = 0
+            snoise = np.roll(pos.noise, d * nb).copy()
+            snoise[:d * nb] = 1
+            prev = ShortintBatch(
+                shifted, sdegs, pos.message_modulus, pos.carry_modulus,
+                snoise)
+            ssum = sks.unchecked_add_batch(pos, prev)
+            pos, _ = ik.propagate_single_carry(ssum, num=n)
+            d *= 2
+
+        # 3. position-match matrix (pos_i == j) over all n^2 pairs at once
+        pos_rep = _take(pos, np.tile(arr, (n, 1)).reshape(-1))  # [n*n*nb]
+        js = self._trivial_chars(list(np.repeat(np.arange(n), n)))
+        eqm = self._char_eq(pos_rep, js, n * n)            # [n*n] (j major)
+
+        # 4. batched select: slot j = sum_i char_i * (pos_i == j)
+        chars_rep = _take(stack, np.tile(arr.reshape(-1), n))
+        cond = _take(eqm, np.repeat(np.arange(n * n), nb))
+        pick_lut = sks.generate_lookup_table_bivariate(
+            lambda cc, x: x if cc else 0)
+        masked = sks.unchecked_bivariate_batch(cond, chars_rep, pick_lut)
+        md = np.asarray(masked.data).reshape(n, n, nb, -1)
+        with np.errstate(over="ignore"):
+            acc = md.sum(axis=1, dtype=np.uint64).reshape(n * nb, -1)
+        summed = ShortintBatch(
+            data=acc,
+            degrees=np.full(n * nb, self.msg - 1, dtype=np.int64),
+            message_modulus=self.msg,
+            carry_modulus=stack.carry_modulus,
+        )
+        # refresh noise accumulated by the n-way sum
+        clean = sks.message_extract_batch(summed)
+        return FheString(
+            content=[FheAsciiChar(c) for c in self._unstack(clean, n)],
             padding=Padding.FINAL,
             length=(s.length if isinstance(s.length, int) else s.length.copy()),
         )
