@@ -83,8 +83,17 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
     dspec_list = ntt.forward_ntt(d)  # per prime [B, LJ, N]
 
     LJ = levels * G
+    from . import pallas_kernels
+
+    use_pallas = pallas_kernels.enabled()
     prods = []
     for i, p in enumerate(ntt.PRIMES):
+        if use_pallas:
+            ks = spec_step[i].reshape(LJ, G * M, N)
+            ksh = shoup_step[i].reshape(LJ, G * M, N)
+            s = pallas_kernels.shoup_mac(dspec_list[i], ks, ksh, p)
+            prods.append(s.reshape(B, G, M, N))
+            continue
         ks = spec_step[i].reshape(LJ, G, M, N)
         ksh = shoup_step[i].reshape(LJ, G, M, N)
         a = dspec_list[i][:, :, None, None, :]  # [B, LJ, 1, 1, N]
