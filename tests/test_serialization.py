@@ -256,3 +256,36 @@ def test_hl_keys_round_trip(hl_keys):
         assert (a * 3).decrypt(cks) == 27
     finally:
         api.set_server_key(sks)
+
+
+def test_fhestring_round_trip():
+    from tfhe_tpu import strings
+    from tfhe_tpu.strings.ciphertext import Padding
+
+    cks, sks = strings.gen_keys_test(seed=888)
+    s = cks.encrypt_str_random_padding("Wire!", 2)
+    back = safe_deserialize(safe_serialize(s))
+    assert back.padding == s.padding
+    assert cks.decrypt_string(back) == "Wire!"
+    # server ops work on the deserialized string
+    up = sks.to_uppercase(back)
+    assert cks.decrypt_string(up) == "WIRE!"
+    # clear-length strings too
+    s2 = cks.encrypt_str("ab")
+    b2 = safe_deserialize(safe_serialize(s2))
+    assert b2.padding == Padding.NONE and b2.length == 2
+    assert cks.decrypt_string(b2) == "ab"
+
+
+def test_boolean_public_key():
+    from tfhe_tpu import boolean
+    from tfhe_tpu.params import BOOLEAN_SHA_TEST_PARAMETERS
+
+    cks, sks = boolean.gen_keys(BOOLEAN_SHA_TEST_PARAMETERS, seed=10)
+    pk = boolean.PublicKey(cks)
+    bits = np.array([True, False, True, True])
+    ct = pk.encrypt_batch(bits, seed=3)
+    np.testing.assert_array_equal(cks.decrypt_batch(ct), bits)
+    # gates work on public-key ciphertexts
+    out = sks.and_batch(ct, ct)
+    np.testing.assert_array_equal(cks.decrypt_batch(out), bits)

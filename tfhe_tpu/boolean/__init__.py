@@ -248,6 +248,35 @@ def _pbs_ks_jit(ksk, bsk, accumulator, ct):
     return core.pbs_then_keyswitch(ksk, bsk, accumulator, ct)
 
 
+class PublicKey:
+    """Boolean public key: zero-encryption list over the u32 torus
+    (ref: tfhe/src/boolean/public_key/mod.rs)."""
+
+    def __init__(self, cks: ClientKey):
+        from ..core import public_key as core_pk
+
+        self.params = cks.params
+        sk, std = cks.encryption_sk
+        count = core_pk.public_key_zero_encryption_count(
+            sk.lwe_dimension + 1, bits=32)
+        self.key = core_pk.generate_lwe_public_key(sk, count, std,
+                                                   cks._enc_gen)
+
+    def encrypt_batch(self, messages, seed: Optional[int] = None
+                      ) -> np.ndarray:
+        from ..core import public_key as core_pk
+        from ..prng.generators import SecretRandomGenerator
+
+        seeder = Seeder(seed) if seed is not None else system_seeder()
+        sec = SecretRandomGenerator(seeder.seed())
+        messages = np.asarray(messages, dtype=bool)
+        encoded = np.where(messages, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+        return core_pk.encrypt_lwe_with_public_key(self.key, encoded, sec)
+
+    def encrypt(self, message: bool, seed: Optional[int] = None) -> Ciphertext:
+        return Ciphertext(data=self.encrypt_batch([message], seed=seed)[0])
+
+
 def gen_keys(params: BooleanParameters = DEFAULT_PARAMETERS,
              seed: Optional[int] = None):
     """(ref: boolean/mod.rs gen_keys)"""

@@ -294,6 +294,70 @@ def _register_all() -> None:
         ),
     )
 
+    # strings ----------------------------------------------------------
+    from ..strings.ciphertext import FheAsciiChar, FheString, Padding
+
+    def _fhestr_state(s):
+        meta = {"padding": int(s.padding), "max_len": s.max_len}
+        arrays = {}
+        if s.content:
+            stacked_meta, stacked = _batch_state(_concat_batches(
+                [c.ct.blocks for c in s.content]))
+            meta["blocks_meta"] = stacked_meta
+            arrays.update({f"content_{k}": v for k, v in stacked.items()})
+        if isinstance(s.length, int):
+            meta["clear_length"] = s.length
+        else:
+            lmeta, larrs = _batch_state(s.length.blocks)
+            meta["length_meta"] = lmeta
+            arrays.update({f"length_{k}": v for k, v in larrs.items()})
+        return meta, arrays
+
+    def _fhestr_from(meta, arrays):
+        content = []
+        if "blocks_meta" in meta:
+            stacked = _batch_from(
+                meta["blocks_meta"],
+                {k[len("content_"):]: v for k, v in arrays.items()
+                 if k.startswith("content_")})
+            n = meta["max_len"]
+            nb = len(stacked) // n
+            for i in range(n):
+                blk = ShortintBatch(
+                    data=stacked.data[i * nb:(i + 1) * nb],
+                    degrees=stacked.degrees[i * nb:(i + 1) * nb],
+                    noise=stacked.noise[i * nb:(i + 1) * nb],
+                    message_modulus=stacked.message_modulus,
+                    carry_modulus=stacked.carry_modulus)
+                content.append(FheAsciiChar(RadixCiphertext(blk)))
+        if "clear_length" in meta:
+            length = meta["clear_length"]
+        else:
+            length = RadixCiphertext(_batch_from(
+                meta["length_meta"],
+                {k[len("length_"):]: v for k, v in arrays.items()
+                 if k.startswith("length_")}))
+        return FheString(content=content, padding=Padding(meta["padding"]),
+                         length=length)
+
+    def _concat_batches(batches):
+        return ShortintBatch(
+            data=np.concatenate([np.asarray(b.data) for b in batches]),
+            degrees=np.concatenate([b.degrees for b in batches]),
+            noise=np.concatenate([b.noise for b in batches]),
+            message_modulus=batches[0].message_modulus,
+            carry_modulus=batches[0].carry_modulus,
+        )
+
+    register_adapter(FheString, "strings.FheString",
+                     _fhestr_state, _fhestr_from)
+    register_adapter(
+        FheAsciiChar, "strings.FheAsciiChar",
+        lambda c: _batch_state(c.ct.blocks),
+        lambda meta, arrays: FheAsciiChar(
+            RadixCiphertext(_batch_from(meta, arrays))),
+    )
+
     # keys --------------------------------------------------------------
     from ..shortint.client_key import ClientKey as ShortintClientKey
     from ..shortint.server_key import ServerKey as ShortintServerKey
