@@ -88,3 +88,26 @@ def test_fheint_ops(ctx):
     q, r = a.div_rem(b)
     assert q.decrypt(ctx) == -2 and r.decrypt(ctx) == -8
     assert (a // 5).decrypt(ctx) == -8  # truncation toward zero
+
+
+def test_wide_types_round_trip(ctx):
+    """FheUint64/128/256 encrypt/decrypt + a cheap op each
+    (ref: high_level_api macro expansion covers all widths)."""
+    from tfhe_tpu import api
+
+    cks = ctx
+    v64 = (1 << 63) | 12345
+    a = api.FheUint64.encrypt(v64, cks)
+    assert a.decrypt(cks) == v64
+    assert (a + 1).decrypt(cks) == (v64 + 1) % (1 << 64)
+
+    v128 = (1 << 120) + 99
+    b = api.FheUint128.encrypt(v128, cks)
+    assert b.decrypt(cks) == v128
+
+    v256 = (1 << 250) + 7
+    c = api.FheUint256.encrypt(v256, cks)
+    assert c.decrypt(cks) == v256
+
+    s = api.FheInt64.encrypt(-(1 << 40), cks)
+    assert s.decrypt(cks) == -(1 << 40)
