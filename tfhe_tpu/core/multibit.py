@@ -134,9 +134,12 @@ def generate_multi_bit_bootstrap_key(
 
 @dataclass
 class PreparedMultiBitBskNtt:
-    """Group GGSW spectra [n_groups, P, 2^gf, L, J=G, O=G, M=2, N] int32."""
+    """Group GGSW spectra [n_groups, P, 2^gf, L, J=G, O=G, M=2, N] int32.
+    DFT matrices ride along as pytree leaves (see PreparedBskNtt)."""
 
     spectra: Any
+    fwd_mats: Any
+    inv_mats: Any
     base_log: int
     levels: int
     glwe_size: int
@@ -148,10 +151,12 @@ class PreparedMultiBitBskNtt:
 
 jax.tree_util.register_pytree_node(
     PreparedMultiBitBskNtt,
-    lambda b: ((b.spectra,), (b.base_log, b.levels, b.glwe_size,
-                              b.polynomial_size, b.input_dim,
-                              b.grouping_factor, b.bits)),
-    lambda meta, data: PreparedMultiBitBskNtt(data[0], *meta),
+    lambda b: ((b.spectra, b.fwd_mats, b.inv_mats),
+               (b.base_log, b.levels, b.glwe_size,
+                b.polynomial_size, b.input_dim,
+                b.grouping_factor, b.bits)),
+    lambda meta, data: PreparedMultiBitBskNtt(data[0], data[1], data[2],
+                                              *meta),
 )
 
 
@@ -165,8 +170,11 @@ def prepare_multi_bit_bsk_ntt(mbsk: np.ndarray, base_log: int,
     n_groups, per, L, G, _, N = mbsk.shape
     spectra, _shoup = key_to_spectra(mbsk)  # [P, n_groups, per, L, J, O, M, N]
     spectra = jnp.moveaxis(spectra, 0, 1)   # [n_groups, P, ...]
+    fwd, inv = ntt.dft_matrices_device(N)
     return PreparedMultiBitBskNtt(
         spectra=spectra,
+        fwd_mats=fwd,
+        inv_mats=inv,
         base_log=base_log,
         levels=L,
         glwe_size=G,
@@ -231,7 +239,8 @@ def multi_bit_blind_rotate(mbsk: PreparedMultiBitBskNtt, lut, lwe):
         digits = decomposition.signed_decompose(
             acc, mbsk.base_log, L, bits=bits)
         dspec_list = ntt.forward_ntt(
-            jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, L * G, N))
+            jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, L * G, N),
+            mats=mbsk.fwd_mats)
 
         prods = []
         for i, p in enumerate(ntt.PRIMES):
@@ -250,7 +259,7 @@ def multi_bit_blind_rotate(mbsk: PreparedMultiBitBskNtt, lut, lwe):
             s = r.reshape(B, L * G, G, 2, N).sum(axis=1)  # [B, O, M, N]
             prods.append(ntt._center_mod(s, p).astype(jnp.int32))
 
-        coeffs = ntt.inverse_ntt(prods)
+        coeffs = ntt.inverse_ntt(prods, mats=mbsk.inv_mats)
         conv = ntt.crt_to_u64_centered(coeffs)
         return ntt.planes_to_u64(conv), None
 

@@ -72,7 +72,8 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
             rotated = polymul.monomial_mul(acc, a_hat[:, None], N, bits=bits)
             ct1 = rotated - acc
             delta = external_product_ntt(
-                ct1, spec_i, shoup_i, bsk.base_log, bsk.levels, bits=bits
+                ct1, spec_i, shoup_i, bsk.base_log, bsk.levels, bits=bits,
+                fwd_mats=bsk.fwd_mats, inv_mats=bsk.inv_mats,
             )
             return acc + delta, None
 

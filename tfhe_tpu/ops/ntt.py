@@ -189,11 +189,16 @@ def _mod_matmul(x_bal, mat_limbs, p: int, n_limbs: int):
     return _center_mod(total, p).astype(jnp.int32)
 
 
-def forward_ntt(x_int):
+def forward_ntt(x_int, mats=None):
     """x [..., N] signed int (|x| < 2^32) -> list per prime of [..., N]
-    balanced int32 negacyclic spectra."""
+    balanced int32 negacyclic spectra.
+
+    `mats` passes the per-prime DFT limb matrices as *traced arguments*
+    (e.g. carried in a prepared-key pytree).  Without it they are captured
+    as compile-time constants, which embeds ~200MB in every executable at
+    N=2048 — fine for tests, ruinous for compile times over a slow link."""
     N = x_int.shape[-1]
-    fwd, _ = dft_matrices_device(N)
+    fwd = mats if mats is not None else dft_matrices_device(N)[0]
     outs = []
     for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS)):
         xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32)
@@ -201,11 +206,11 @@ def forward_ntt(x_int):
     return outs
 
 
-def inverse_ntt(spec_list):
+def inverse_ntt(spec_list, mats=None):
     """list per prime of [..., N] balanced spectra -> list of balanced
-    coefficient arrays."""
+    coefficient arrays (see forward_ntt on `mats`)."""
     N = spec_list[0].shape[-1]
-    _, inv = dft_matrices_device(N)
+    inv = mats if mats is not None else dft_matrices_device(N)[1]
     return [
         _mod_matmul(spec_list[i], inv[i], p, nl)
         for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS))

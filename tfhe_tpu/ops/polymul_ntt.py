@@ -65,7 +65,8 @@ def key_to_spectra(key_polys, bits: int = 64) -> Tuple[Any, Any]:
 
 
 def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
-                         levels: int, bits: int = 64):
+                         levels: int, bits: int = 64, fwd_mats=None,
+                         inv_mats=None):
     """One blind-rotation step's GGSW external product, exactly.
 
     acc_diff:  [B, G, N] uint  (ct1 = rotated - acc)
@@ -80,7 +81,7 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
     )  # [B, G, N, L] int32
     # fold (L, J): digits [B, L, J, N]; key [P, L*J, O, M, N]
     d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, levels * G, N)
-    dspec_list = ntt.forward_ntt(d)  # per prime [B, LJ, N]
+    dspec_list = ntt.forward_ntt(d, mats=fwd_mats)  # per prime [B, LJ, N]
 
     LJ = levels * G
     from . import pallas_kernels
@@ -102,7 +103,7 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
         s = r.sum(axis=1)  # [B, O, M, N]
         prods.append(ntt._center_mod(s.astype(jnp.int64), p).astype(jnp.int32))
 
-    coeffs = ntt.inverse_ntt(prods)  # per prime [B, O, M, N]
+    coeffs = ntt.inverse_ntt(prods, mats=inv_mats)  # per prime [B, O, M, N]
     conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
     if bits == 64:
         return ntt.planes_to_u64(conv)  # [B, O, N]
@@ -111,10 +112,17 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
 
 @dataclass
 class PreparedBskNtt:
-    """BSK in the CRT-NTT domain: spectra/shoup [n, P, L, J, O, M, N] int32."""
+    """BSK in the CRT-NTT domain: spectra/shoup [n, P, L, J, O, M, N] int32.
+
+    Carries the per-prime DFT limb matrices as pytree leaves so the NTT
+    transforms consume them as jit *arguments* — at N=2048 the matrices are
+    ~200MB and embedding them as graph constants multiplies compile time
+    and executable size for every batch-shape variant."""
 
     spectra: Any
     shoup: Any
+    fwd_mats: Any
+    inv_mats: Any
     base_log: int
     levels: int
     glwe_size: int
@@ -125,10 +133,11 @@ class PreparedBskNtt:
 
 jax.tree_util.register_pytree_node(
     PreparedBskNtt,
-    lambda b: ((b.spectra, b.shoup),
+    lambda b: ((b.spectra, b.shoup, b.fwd_mats, b.inv_mats),
                (b.base_log, b.levels, b.glwe_size, b.polynomial_size,
                 b.input_dim, b.bits)),
-    lambda meta, data: PreparedBskNtt(data[0], data[1], *meta),
+    lambda meta, data: PreparedBskNtt(data[0], data[1], data[2], data[3],
+                                      *meta),
 )
 
 
@@ -141,7 +150,9 @@ def prepare_bsk_ntt(bsk_standard: np.ndarray, base_log: int,
     spec, shoup = key_to_spectra(bsk_standard, bits=bits)  # [P,n,L,J,O,M,N]
     spec = jnp.moveaxis(spec, 0, 1)  # [n, P, L, J, O, 2, N]
     shoup = jnp.moveaxis(shoup, 0, 1)
+    fwd, inv = ntt.dft_matrices_device(N)
     return PreparedBskNtt(
-        spectra=spec, shoup=shoup, base_log=base_log, levels=L,
+        spectra=spec, shoup=shoup, fwd_mats=fwd, inv_mats=inv,
+        base_log=base_log, levels=L,
         glwe_size=J, polynomial_size=N, input_dim=n, bits=bits,
     )
