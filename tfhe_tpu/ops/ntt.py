@@ -173,20 +173,26 @@ def _to_limbs_i8(x, n_limbs: int):
 
 def _mod_matmul(x_bal, mat_limbs, p: int, n_limbs: int):
     """x [..., N] balanced int32, mat [N, N', n_limbs] int8 -> [..., N']
-    balanced int32.  Exact int8 limb-plane matmul on the MXU."""
+    balanced int32.  Exact int8 limb-plane matmul on the MXU.
+
+    The plane combination stays entirely in int32: int64 is software-
+    emulated on TPU (v5e has no native 64-bit ALU), and this combine runs
+    inside every blind-rotation step.  Each limb-pair product is centered
+    mod p first (|t| <= p/2 < 2^17), so t * scale <= p^2/4 < 2^31 fits
+    int32, and the <= 9-term accumulation of centered values stays tiny."""
     xl = _to_limbs_i8(x_bal, n_limbs)  # [..., N, L]
     prod = jnp.einsum(
         "...ni,nmj->...mij", xl, mat_limbs,
         preferred_element_type=jnp.int32,
     )  # [..., N', L, L]; |entry| <= 127*127*N < 2^26
-    # combine shifted planes s = i + j in int64, then center mod p
-    total = jnp.zeros(prod.shape[:-2], jnp.int64)
+    total = jnp.zeros(prod.shape[:-2], jnp.int32)
     for i in range(n_limbs):
         for j in range(n_limbs):
             scale = (1 << (8 * (i + j))) % p
             scale = scale - p if scale > p // 2 else scale
-            total = total + prod[..., i, j].astype(jnp.int64) * scale
-    return _center_mod(total, p).astype(jnp.int32)
+            t = _center_mod(prod[..., i, j], p)          # int32, |t| <= p/2
+            total = total + _center_mod(t * np.int32(scale), p)
+    return _center_mod(total, p)
 
 
 def forward_ntt(x_int, mats=None):
@@ -199,9 +205,13 @@ def forward_ntt(x_int, mats=None):
     N=2048 — fine for tests, ruinous for compile times over a slow link."""
     N = x_int.shape[-1]
     fwd = mats if mats is not None else dft_matrices_device(N)[0]
+    wide = x_int.dtype not in (jnp.int32, np.dtype(np.int32))
     outs = []
     for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS)):
-        xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32)
+        # int64 centering only when the input really is 64-bit (key planes
+        # at prep time); per-step digit inputs are int32 and stay int32
+        xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32) \
+            if wide else _center_mod(x_int, p)
         outs.append(_mod_matmul(xc, fwd[i], p, nl))
     return outs
 
@@ -269,31 +279,41 @@ def _garner_consts():
     return p, invs, pp_u64
 
 
+def _balanced_const(v: int, p: int) -> int:
+    v %= p
+    return v - p if v > p // 2 else v
+
+
 def crt_to_u64_centered(res_list):
     """Per-prime balanced residues -> u64 centered representative mod 2^64.
 
     The true integer is guaranteed |x| < 2^70 << CRT/2 ~ 2^76, so the
     centered class member is recovered exactly; only its value mod 2^64
-    is returned (torus arithmetic wraps anyway)."""
+    is returned (torus arithmetic wraps anyway).
+
+    The Garner mixed-radix digits are computed entirely in *balanced int32*
+    (every product of two balanced values <= p^2/4 < 2^31): TPU v5e has no
+    native 64-bit integer unit, so the previous int64 formulation ran
+    software-emulated multiplies and divisions inside every blind-rotation
+    step.  Only the final 5-term wrap-around reconstruction touches u64."""
     p, invs, pp_u64 = _garner_consts()
-    # canonicalize balanced -> [0, p)
-    a = [
-        jnp.where(r < 0, r + pi, r).astype(jnp.int64)
-        for r, pi in zip(res_list, p)
-    ]
-    # mixed-radix digits t_i
-    ts = [a[0]]
-    x_mod = [a[0]]  # x mod p_i accumulators, lazily computed below
+    # canonical mixed-radix digits t_i in [0, p_i), all int32 arithmetic
+    t0 = res_list[0]
+    ts = [t0 + jnp.where(t0 < 0, np.int32(p[0]), np.int32(0))]
     for i in range(1, len(p)):
-        # partial = t_0 + p_0 (t_1 + p_1 (...)) mod p_i
-        partial = ts[0] % p[i]
+        # partial = t_0 + p_0 (t_1 + p_1 (...)) mod p_i, kept balanced
+        partial = _center_mod(ts[0], p[i])
         mult = 1
         for j in range(1, i):
             mult = mult * p[j - 1] % p[i]
-            partial = (partial + ts[j] % p[i] * mult) % p[i]
-        t = (a[i] - partial) % p[i] * invs[i - 1] % p[i]
-        ts.append(t)
-    del x_mod
+            mc = np.int32(_balanced_const(mult, p[i]))
+            tj = _center_mod(ts[j], p[i])
+            partial = _center_mod(partial + _center_mod(tj * mc, p[i]),
+                                  p[i])
+        inv_c = np.int32(_balanced_const(invs[i - 1], p[i]))
+        diff = _center_mod(res_list[i] - partial, p[i])
+        t = _center_mod(diff * inv_c, p[i])
+        ts.append(t + jnp.where(t < 0, np.int32(p[i]), np.int32(0)))
     # wrapped value mod 2^64 and float magnitude for the sign decision
     x64 = jnp.zeros(ts[0].shape, jnp.uint64)
     xf = jnp.zeros(ts[0].shape, jnp.float32)

@@ -99,9 +99,9 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
         ksh = shoup_step[i].reshape(LJ, G, M, N)
         a = dspec_list[i][:, :, None, None, :]  # [B, LJ, 1, 1, N]
         r = ntt.shoup_mul(a, ks[None], ksh[None], p)
-        # sum over LJ: |sum| <= LJ * p fits int32 for LJ <= ~2^13
+        # sum over LJ: |sum| <= LJ * p/2 stays far inside int32
         s = r.sum(axis=1)  # [B, O, M, N]
-        prods.append(ntt._center_mod(s.astype(jnp.int64), p).astype(jnp.int32))
+        prods.append(ntt._center_mod(s, p))
 
     coeffs = ntt.inverse_ntt(prods, mats=inv_mats)  # per prime [B, O, M, N]
     conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
