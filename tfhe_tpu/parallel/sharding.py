@@ -27,15 +27,20 @@ def shard_batch(mesh: Mesh, x, axis: str = "batch"):
     return jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim, axis)))
 
 
-def bsk_spec(poly_axis: str = "poly") -> P:
-    # ext_limbs [n, L, J, O, M, 2N]: shard the 2N polynomial axis
-    return P(None, None, None, None, None, poly_axis)
+def bsk_spec(ndim: int, poly_axis: str = "poly") -> P:
+    """Shard the trailing polynomial/spectrum axis of large BSK tensors
+    (ext_limbs [n, L, J, O, M, 2N] or spectra/shoup [n, P, L, J, O, M, N]);
+    small auxiliary leaves (e.g. the rank-3 DFT limb matrices carried in
+    PreparedBskNtt) are replicated."""
+    if ndim >= 6:
+        return P(*([None] * (ndim - 1)), poly_axis)
+    return P()
 
 
 def key_shardings(mesh: Mesh, bsk: PreparedBsk, ksk: PreparedKsk):
     """(bsk_sharding_tree, ksk_sharding_tree) matching the key pytrees."""
     bsk_sh = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, bsk_spec()), bsk)
+        lambda leaf: NamedSharding(mesh, bsk_spec(leaf.ndim)), bsk)
     ksk_sh = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), ksk)
     return bsk_sh, ksk_sh
