@@ -225,7 +225,10 @@ def multi_bit_blind_rotate(mbsk: PreparedMultiBitBskNtt, lut, lwe):
         lwe[:, :-1].reshape(B, n_groups, gf), (1, 2, 0))
     sel = jnp.asarray(_selection_matrix(gf), dt)  # [per, gf]
     psi_tabs = [jnp.asarray(t) for t in ntt.psi_pow_tables_device(N)]
-    two_k_plus_1 = 2 * jnp.arange(N, dtype=jnp.int32) + 1  # [N]
+    # natural DFT index held at each stored spectrum position (the
+    # four-step transform stores X[k1 + R*k2] at position k1*C + k2)
+    k_nat = jnp.asarray(ntt.spectrum_natural_k(N))
+    two_k_plus_1 = 2 * k_nat + 1  # [N]
 
     def step(acc, xs):
         a_group, spec_group = xs  # [gf, B], [P, per, L, J, O, M, N]

@@ -137,16 +137,103 @@ def _limbs_host(x: np.ndarray, n_limbs: int) -> np.ndarray:
     return np.stack(out, axis=-1).astype(np.int8)
 
 
+def four_step_factors(N: int):
+    """N = R*C with R >= C, both powers of two (R = C or 2C)."""
+    m = N.bit_length() - 1
+    R = 1 << ((m + 1) // 2)
+    return R, N // R
+
+
 @functools.lru_cache(maxsize=None)
-def dft_matrices_device(N: int):
-    """Per-prime (fwd, inv) DFT matrices as int8 limb planes on device."""
+def spectrum_natural_k(N: int) -> np.ndarray:
+    """[N] int32: the natural DFT index k held at each stored spectrum
+    position.  The four-step transform stores X[k1 + R*k2] at flat position
+    k1*C + k2; pointwise spectrum consumers that need k (e.g. monomial
+    spectra psi^(d(2k+1))) must index through this map."""
+    R, C = four_step_factors(N)
+    k1 = np.arange(R, dtype=np.int32)[:, None]
+    k2 = np.arange(C, dtype=np.int32)[None, :]
+    return (k1 + R * k2).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_tables_host(N: int):
+    """Per-prime host tables for the four-step negacyclic NTT.
+
+    Forward (contract r, twiddle, contract c; x stored [r, c] = i = r*C + c,
+    spectrum stored [k1, k2] = X[k1 + R*k2]):
+      W1[r, k1]  = psi^(rC) omega^(C r k1)
+      T[k1, c]   = psi^c omega^(c k1)
+      W2[c, k2]  = omega^(R c k2)
+    Inverse (contract k2, twiddle, contract k1; 1/N folded into Ti):
+      W2i[k2, c] = omega^(-R c k2)
+      Ti[k1, c]  = psi^(-c) omega^(-c k1) / N
+      W1i[k1, r] = psi^(-rC) omega^(-C r k1)
+    """
+    R, C = four_step_factors(N)
     fwd, inv = [], []
     for p, nl in zip(PRIMES, N_LIMBS):
-        V, Vinv = _host_tables(p, N)
-        # einsum consumes [input, output]; V/Vinv are built [output, input]
-        fwd.append(jnp.asarray(_limbs_host(_balance_host(V.T, p), nl)))
-        inv.append(jnp.asarray(_limbs_host(_balance_host(Vinv.T, p), nl)))
+        g = _find_generator(p)
+        psi = _pow_mod(g, (p - 1) // (2 * N), p)
+        om = psi * psi % p
+        psi_t = np.array([_pow_mod(psi, t, p) for t in range(2 * N)],
+                         dtype=np.int64)
+        om_t = np.array([_pow_mod(om, t, p) for t in range(N)],
+                        dtype=np.int64)
+        psi_it = np.array(
+            [_pow_mod(psi, (2 * N - t) % (2 * N), p) for t in range(2 * N)],
+            dtype=np.int64)
+        om_it = np.array([_pow_mod(om, (N - t) % N, p) for t in range(N)],
+                         dtype=np.int64)
+        ninv = _pow_mod(N, p - 2, p)
+        r = np.arange(R, dtype=np.int64)
+        c = np.arange(C, dtype=np.int64)
+        k1 = np.arange(R, dtype=np.int64)
+        k2 = np.arange(C, dtype=np.int64)
+
+        W1 = psi_t[(r * C) % (2 * N)][:, None] * om_t[
+            (C * np.outer(r, k1)) % N] % p                      # [r, k1]
+        T = psi_t[c % (2 * N)][None, :] * om_t[
+            np.outer(k1, c) % N] % p                            # [k1, c]
+        W2 = om_t[(R * np.outer(c, k2)) % N] % p                # [c, k2]
+        W2i = om_it[(R * np.outer(k2, c)) % N] % p              # [k2, c]
+        Ti = psi_it[c % (2 * N)][None, :] * om_it[
+            np.outer(k1, c) % N] % p * ninv % p                 # [k1, c]
+        W1i = psi_it[(r * C) % (2 * N)][None, :] * om_it[
+            (C * np.outer(k1, r)) % N] % p                      # [k1, r]
+
+        def _tw(x):
+            b = _balance_host(x % p, p).astype(np.int32)
+            return b, shoup_precompute_host(b, p)
+
+        Tb, Tsh = _tw(T)
+        Tib, Tish = _tw(Ti)
+        fwd.append((
+            _limbs_host(_balance_host(W1, p), nl),
+            Tb, Tsh,
+            _limbs_host(_balance_host(W2, p), nl),
+        ))
+        inv.append((
+            _limbs_host(_balance_host(W2i, p), nl),
+            Tib, Tish,
+            _limbs_host(_balance_host(W1i, p), nl),
+        ))
     return tuple(fwd), tuple(inv)
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrices_device(N: int):
+    """Per-prime (fwd, inv) four-step NTT table pytrees on device.
+
+    Each forward entry is (W1_limbs [R,R,nl], T [R,C], T_shoup [R,C],
+    W2_limbs [C,C,nl]); inverse entries are (W2i_limbs, Ti, Ti_shoup,
+    W1i_limbs).  Total size is O(sqrt(N) * N) bytes — small enough to embed
+    as jit constants (the former dense [N,N] matrices were ~200MB at
+    N=2048 and had to be threaded through pytrees)."""
+    fwd_h, inv_h = _four_step_tables_host(N)
+    to_dev = lambda tabs: tuple(
+        tuple(jnp.asarray(a) for a in entry) for entry in tabs)
+    return to_dev(fwd_h), to_dev(inv_h)
 
 
 # ---------------------------------------------------------------------------
@@ -171,60 +258,117 @@ def _to_limbs_i8(x, n_limbs: int):
     return jnp.stack(out, axis=-1)
 
 
-def _mod_matmul(x_bal, mat_limbs, p: int, n_limbs: int):
-    """x [..., N] balanced int32, mat [N, N', n_limbs] int8 -> [..., N']
-    balanced int32.  Exact int8 limb-plane matmul on the MXU.
+def fold_p_f32(x, p: int):
+    """x int32 with |x| < 2^24 -> x mod p, nearly balanced (|out| <= p/2 + 1).
 
-    The plane combination stays entirely in int32: int64 is software-
-    emulated on TPU (v5e has no native 64-bit ALU), and this combine runs
-    inside every blind-rotation step.  Each limb-pair product is centered
-    mod p first (|t| <= p/2 < 2^17), so t * scale <= p^2/4 < 2^31 fits
-    int32, and the <= 9-term accumulation of centered values stays tiny."""
-    xl = _to_limbs_i8(x_bal, n_limbs)  # [..., N, L]
-    prod = jnp.einsum(
-        "...ni,nmj->...mij", xl, mat_limbs,
-        preferred_element_type=jnp.int32,
-    )  # [..., N', L, L]; |entry| <= 127*127*N < 2^26
-    total = jnp.zeros(prod.shape[:-2], jnp.int32)
+    One f32 multiply + round replaces integer division: q = round(x/p) is
+    within 1 of the nearest integer (f32 is exact below 2^24), so
+    x - q*p stays within p/2 + p*2^-10 of balanced — the cheap VPU
+    reduction for every post-matmul/post-sum fold in the hot path."""
+    q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(
+        jnp.int32)
+    return x - q * np.int32(p)
+
+
+@functools.lru_cache(maxsize=None)
+def _limb_scale_consts(p: int, n_limbs: int):
+    """Balanced 2^(8s) mod p and its Shoup companion, s = 0..2*n_limbs-2."""
+    outs = []
+    for s in range(2 * n_limbs - 1):
+        sc = (1 << (8 * s)) % p
+        sc = sc - p if sc > p // 2 else sc
+        sh = int(np.round(sc * (1 << _SHOUP_BETA) / p))
+        outs.append((np.int32(sc), np.int32(sh)))
+    return outs
+
+
+def _combine_limb_planes(prod, p: int, n_limbs: int):
+    """prod [..., i, j] int32 limb-pair matmul outputs (contraction K <= 64,
+    so |entry| <= 127*127*64 < 2^21) -> balanced int32 mod p.
+
+    Same-weight planes (i + j = s) are summed raw (<= 3 terms, still < 2^23),
+    folded once, scaled by the balanced constant 2^(8s) mod p via Shoup."""
+    consts = _limb_scale_consts(p, n_limbs)
+    groups = {}
     for i in range(n_limbs):
         for j in range(n_limbs):
-            scale = (1 << (8 * (i + j))) % p
-            scale = scale - p if scale > p // 2 else scale
-            t = _center_mod(prod[..., i, j], p)          # int32, |t| <= p/2
-            total = total + _center_mod(t * np.int32(scale), p)
-    return _center_mod(total, p)
+            groups.setdefault(i + j, []).append(prod[..., i, j])
+    total = None
+    for s, terms in groups.items():
+        g = terms[0]
+        for t in terms[1:]:
+            g = g + t
+        t = fold_p_f32(g, p)
+        sc, sh = consts[s]
+        if s:
+            t = shoup_mul(t, sc, sh, p)
+        total = t if total is None else total + t
+    # <= 2*n_limbs - 1 balanced terms: |total| <= 5*(p/2+1) << 2^24
+    return fold_p_f32(total, p)
+
+
+def _mm_contract_last(x_bal, mat_limbs, p: int, n_limbs: int):
+    """x [..., K] balanced int32, mat [K, Q, nl] int8 -> [..., Q] balanced."""
+    xl = _to_limbs_i8(x_bal, n_limbs)  # [..., K, i]
+    prod = jnp.einsum("...ki,kqj->...qij", xl, mat_limbs,
+                      preferred_element_type=jnp.int32)
+    return _combine_limb_planes(prod, p, n_limbs)
+
+
+def _mm_contract_second(x_bal, mat_limbs, p: int, n_limbs: int):
+    """x [..., K, C] balanced int32, mat [K, Q, nl] int8 -> [..., Q, C]."""
+    xl = _to_limbs_i8(x_bal, n_limbs)  # [..., K, C, i]
+    prod = jnp.einsum("...kci,kqj->...qcij", xl, mat_limbs,
+                      preferred_element_type=jnp.int32)
+    return _combine_limb_planes(prod, p, n_limbs)
 
 
 def forward_ntt(x_int, mats=None):
     """x [..., N] signed int (|x| < 2^32) -> list per prime of [..., N]
-    balanced int32 negacyclic spectra.
+    balanced int32 negacyclic spectra in four-step storage order
+    (position k1*C + k2 holds X[k1 + R*k2]; see spectrum_natural_k).
 
-    `mats` passes the per-prime DFT limb matrices as *traced arguments*
-    (e.g. carried in a prepared-key pytree).  Without it they are captured
-    as compile-time constants, which embeds ~200MB in every executable at
-    N=2048 — fine for tests, ruinous for compile times over a slow link."""
+    Four-step: reshape to [R, C], contract r on the MXU, pointwise twiddle
+    (Shoup), contract c on the MXU — O(N(R+C)) MACs instead of the dense
+    O(N^2) matrix (the TPU analog of the reference's FFT,
+    ref: fft_impl/fft64/math/fft/mod.rs:196-326)."""
     N = x_int.shape[-1]
+    R, C = four_step_factors(N)
     fwd = mats if mats is not None else dft_matrices_device(N)[0]
     wide = x_int.dtype not in (jnp.int32, np.dtype(np.int32))
+    lead = x_int.shape[:-1]
     outs = []
     for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS)):
         # int64 centering only when the input really is 64-bit (key planes
-        # at prep time); per-step digit inputs are int32 and stay int32
+        # at prep time); per-step digit inputs are int32: |digit| <= 2^23
+        # fits the f32 fold.
         xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32) \
-            if wide else _center_mod(x_int, p)
-        outs.append(_mod_matmul(xc, fwd[i], p, nl))
+            if wide else fold_p_f32(x_int, p)
+        W1, T, Tsh, W2 = fwd[i]
+        xr = xc.reshape(*lead, R, C)
+        u = _mm_contract_second(xr, W1, p, nl)       # [..., k1, c]
+        u = shoup_mul(u, T, Tsh, p)
+        v = _mm_contract_last(u, W2, p, nl)          # [..., k1, k2]
+        outs.append(v.reshape(*lead, N))
     return outs
 
 
 def inverse_ntt(spec_list, mats=None):
-    """list per prime of [..., N] balanced spectra -> list of balanced
-    coefficient arrays (see forward_ntt on `mats`)."""
+    """list per prime of [..., N] balanced four-step-order spectra ->
+    list of balanced coefficient arrays (see forward_ntt)."""
     N = spec_list[0].shape[-1]
+    R, C = four_step_factors(N)
     inv = mats if mats is not None else dft_matrices_device(N)[1]
-    return [
-        _mod_matmul(spec_list[i], inv[i], p, nl)
-        for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS))
-    ]
+    outs = []
+    for i, (p, nl) in enumerate(zip(PRIMES, N_LIMBS)):
+        W2i, Ti, Tish, W1i = inv[i]
+        lead = spec_list[i].shape[:-1]
+        zr = spec_list[i].reshape(*lead, R, C)
+        u = _mm_contract_last(zr, W2i, p, nl)        # [..., k1, c]
+        u = shoup_mul(u, Ti, Tish, p)
+        v = _mm_contract_second(u, W1i, p, nl)       # [..., r, c]
+        outs.append(v.reshape(*lead, N))
+    return outs
 
 
 def shoup_mul(a, b, bs, p: int):
