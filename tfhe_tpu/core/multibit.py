@@ -248,19 +248,19 @@ def multi_bit_blind_rotate(mbsk: PreparedMultiBitBskNtt, lut, lwe):
         prods = []
         for i, p in enumerate(ntt.PRIMES):
             mon = psi_tabs[i][idx]  # [per, B, N] balanced int32
-            ks = spec_group[i].astype(jnp.int64)  # [per, L, J, O, M, N]
+            ks = spec_group[i]  # [per, L, J, O, M, N] balanced int32
             # combined spectrum per ciphertext: GGSW_0 + sum_j GGSW_j*mon_j
-            rot = ntt._center_mod(
-                ks[1:, None] *
-                mon[1:, :, None, None, None, None, :].astype(jnp.int64),
-                p,
+            # (all int32 VPU work; emulated int64 was ~10x slower)
+            rot = ntt.mulmod_f32(
+                ks[1:, None], mon[1:, :, None, None, None, None, :], p
             )  # [per-1, B, L, J, O, M, N]
-            combined = ks[0][None] + rot.sum(axis=0)  # [B, L, J, O, M, N]
-            combined = ntt._center_mod(combined, p)
-            a = dspec_list[i].reshape(B, L, G, 1, 1, N).astype(jnp.int64)
-            r = ntt._center_mod(a * combined, p)  # [B, L, J, O, M, N]
-            s = r.reshape(B, L * G, G, 2, N).sum(axis=1)  # [B, O, M, N]
-            prods.append(ntt._center_mod(s, p).astype(jnp.int32))
+            combined = ks[0][None] + rot.sum(axis=0, dtype=jnp.int32)
+            combined = ntt.fold_p_f32(combined, p)  # |.| <= per * p/2 < 2^24
+            a = dspec_list[i].reshape(B, L, G, 1, 1, N)
+            r = ntt.mulmod_f32(a, combined, p)  # [B, L, J, O, M, N]
+            s = r.reshape(B, L * G, G, 2, N).sum(
+                axis=1, dtype=jnp.int32)  # [B, O, M, N]
+            prods.append(ntt.fold_p_f32(s, p))
 
         coeffs = ntt.inverse_ntt(prods, mats=mbsk.inv_mats)
         conv = ntt.crt_to_u64_centered(coeffs)

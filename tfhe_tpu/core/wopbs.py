@@ -135,10 +135,12 @@ def external_product_dynamic(ggsw_std: Any, glwe: Any, base_log: int,
 
     prods = []
     for i, p in enumerate(ntt.PRIMES):
-        a = dspec[i].reshape(B, L, G, 1, 1, N).astype(jnp.int64)
-        r = ntt._center_mod(a * kspec[i].astype(jnp.int64), p)
-        s = r.reshape(B, L * G, G, 2, N).sum(axis=1)
-        prods.append(ntt._center_mod(s, p).astype(jnp.int32))
+        a = dspec[i].reshape(B, L, G, 1, 1, N)
+        r = ntt.mulmod_f32(a, kspec[i], p)
+        # int32 sum (|sum| <= L*G * p/2 < 2^24); default .sum() would run
+        # in emulated int64 on the 32-bit VPU
+        s = r.reshape(B, L * G, G, 2, N).sum(axis=1, dtype=jnp.int32)
+        prods.append(ntt.fold_p_f32(s, p))
     coeffs = ntt.inverse_ntt(prods)
     conv = ntt.crt_to_u64_centered(coeffs)
     return ntt.planes_to_u64(conv)

@@ -371,6 +371,19 @@ def inverse_ntt(spec_list, mats=None):
     return outs
 
 
+def mulmod_f32(a, b, p: int):
+    """Balanced a*b mod p for runtime operands (no precomputed Shoup
+    companion), |a|, |b| <= p/2, all int32 on the VPU.
+
+    b splits into high/low bytes so every partial product stays below 2^24
+    and the f32 round-fold applies: a*b_hi <= (p/2)*(p/512) < 2^24 and
+    fold(a*b_hi)*256 + a*b_lo <= 256(p/2+1) + 128(p/2) < 2^24."""
+    b_lo = ((b + 128) & 255) - 128          # [-128, 127]
+    b_hi = (b - b_lo) >> 8                  # |b_hi| <= p/512 + 1
+    t = fold_p_f32(a * b_hi, p)
+    return fold_p_f32(t * np.int32(256) + a * b_lo, p)
+
+
 def shoup_mul(a, b, bs, p: int):
     """Balanced a*b mod p with Shoup companion bs = round(b*2^16/p).
     All int32; |result| <= p/2 on return."""
@@ -406,21 +419,34 @@ def shoup_precompute_host(b_bal: np.ndarray, p: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _garner_consts():
-    """invs[i] = (p_0 ... p_{i-1})^-1 mod p_i; partial products mod 2^64
-    and the float ladder for the sign decision."""
+    """Balanced Shoup constants for device-side Garner reconstruction.
+
+    cj[i][j] = p_0 ... p_{j-1} mod p_i (balanced, with Shoup companion) for
+    j < i; inv[i] = (p_0 ... p_{i-1})^-1 mod p_i (balanced, with Shoup);
+    pp_u64[i] = p_0 ... p_{i-1} mod 2^64."""
     p = [int(x) for x in PRIMES]
-    invs = []
-    for i in range(1, len(p)):
+
+    def _sh(v, pi):
+        b = _balanced_const(v, pi)
+        return np.int32(b), np.int32(round(b * (1 << _SHOUP_BETA) / pi))
+
+    cj = []
+    inv = []
+    for i in range(len(p)):
+        row = []
         prod = 1
         for j in range(i):
+            if j:
+                row.append(_sh(prod, p[i]))
             prod = prod * p[j] % p[i]
-        invs.append(pow(prod, p[i] - 2, p[i]))
+        cj.append(row)  # constants for digit terms j = 1 .. i-1
+        inv.append(_sh(pow(prod, p[i] - 2, p[i]), p[i]) if i else None)
     pp_u64 = []  # p_0 ... p_{i-1} mod 2^64
     prod = 1
     for i in range(len(p)):
         pp_u64.append(prod % (1 << 64))
         prod *= p[i]
-    return p, invs, pp_u64
+    return p, cj, inv, pp_u64
 
 
 def _balanced_const(v: int, p: int) -> int:
@@ -429,46 +455,37 @@ def _balanced_const(v: int, p: int) -> int:
 
 
 def crt_to_u64_centered(res_list):
-    """Per-prime balanced residues -> u64 centered representative mod 2^64.
+    """Per-prime balanced residues -> the true integer's value mod 2^64.
 
-    The true integer is guaranteed |x| < 2^70 << CRT/2 ~ 2^76, so the
-    centered class member is recovered exactly; only its value mod 2^64
-    is returned (torus arithmetic wraps anyway).
+    Balanced-digit Garner: mixed-radix digits b_i with |b_i| <= p_i/2 give
+    x = sum_i b_i * prod_{l<i} p_l with |x| <= CRT/2 (1 + eps); since the
+    true convolution value is |x| < 2^70 << CRT/2 ~ 2^75.6, the balanced
+    reconstruction IS the true integer — no sign ladder or canonicalization
+    needed.
 
-    The Garner mixed-radix digits are computed entirely in *balanced int32*
-    (every product of two balanced values <= p^2/4 < 2^31): TPU v5e has no
-    native 64-bit integer unit, so the previous int64 formulation ran
-    software-emulated multiplies and divisions inside every blind-rotation
-    step.  Only the final 5-term wrap-around reconstruction touches u64."""
-    p, invs, pp_u64 = _garner_consts()
-    # canonical mixed-radix digits t_i in [0, p_i), all int32 arithmetic
-    t0 = res_list[0]
-    ts = [t0 + jnp.where(t0 < 0, np.int32(p[0]), np.int32(0))]
+    Everything stays in int32 on the VPU (TPU v5e has no 64-bit integer
+    unit): constant multiplies use Shoup companions, folds use the f32
+    round trick — `jnp.mod` (magic-number division with emulated 64-bit
+    high multiplies) never appears.  Only the final 5-term reconstruction
+    mod 2^64 touches emulated u64 multiply-adds."""
+    p, cj, inv, pp_u64 = _garner_consts()
+    bs = [res_list[0]]  # |b_0| <= p_0/2 <= p_i/2 for all i (primes ascend)
     for i in range(1, len(p)):
-        # partial = t_0 + p_0 (t_1 + p_1 (...)) mod p_i, kept balanced
-        partial = _center_mod(ts[0], p[i])
-        mult = 1
+        # partial = (b_0 + sum_{j>=1} b_j * (p_0..p_{j-1} mod p_i)) mod p_i
+        partial = bs[0]
         for j in range(1, i):
-            mult = mult * p[j - 1] % p[i]
-            mc = np.int32(_balanced_const(mult, p[i]))
-            tj = _center_mod(ts[j], p[i])
-            partial = _center_mod(partial + _center_mod(tj * mc, p[i]),
-                                  p[i])
-        inv_c = np.int32(_balanced_const(invs[i - 1], p[i]))
-        diff = _center_mod(res_list[i] - partial, p[i])
-        t = _center_mod(diff * inv_c, p[i])
-        ts.append(t + jnp.where(t < 0, np.int32(p[i]), np.int32(0)))
-    # wrapped value mod 2^64 and float magnitude for the sign decision
-    x64 = jnp.zeros(ts[0].shape, jnp.uint64)
-    xf = jnp.zeros(ts[0].shape, jnp.float32)
-    fprod = 1.0
+            c, csh = cj[i][j - 1]
+            partial = partial + shoup_mul(bs[j], c, csh, p[i])
+        if i > 1:
+            partial = fold_p_f32(partial, p[i])  # |.| <= i * p_i/2 < 2^19
+        diff = fold_p_f32(res_list[i] - partial, p[i])
+        ic, icsh = inv[i]
+        bs.append(shoup_mul(diff, ic, icsh, p[i]))
+    x64 = jnp.zeros(bs[0].shape, jnp.uint64)
     for i in range(len(p)):
-        x64 = x64 + ts[i].astype(jnp.uint64) * jnp.uint64(pp_u64[i])
-        xf = xf + ts[i].astype(jnp.float32) * np.float32(fprod)
-        fprod *= p[i]
-    is_neg = xf > np.float32(float(CRT_MODULUS) / 2)
-    x64 = x64 - jnp.where(is_neg, jnp.uint64(CRT_MODULUS % (1 << 64)),
-                          jnp.uint64(0))
+        # sign-extend int32 -> int64, then wrap into u64 (two's complement)
+        t = bs[i].astype(jnp.int64).astype(jnp.uint64)
+        x64 = x64 + t * jnp.uint64(pp_u64[i])
     return x64
 
 

@@ -91,5 +91,5 @@ def shoup_mac(a, ks, ksh, p: int):
 def shoup_mac_reference(a, ks, ksh, p: int):
     """The jnp formulation (what external_product_ntt computes inline)."""
     r = ntt.shoup_mul(a[:, :, None, :], ks[None], ksh[None], p)
-    s = r.sum(axis=1)
-    return ntt._center_mod(s.astype(jnp.int64), p).astype(jnp.int32)
+    s = r.sum(axis=1, dtype=jnp.int32)
+    return ntt.fold_p_f32(s, p)

@@ -99,9 +99,11 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
         ksh = shoup_step[i].reshape(LJ, G, M, N)
         a = dspec_list[i][:, :, None, None, :]  # [B, LJ, 1, 1, N]
         r = ntt.shoup_mul(a, ks[None], ksh[None], p)
-        # sum over LJ: |sum| <= LJ * p/2 stays far inside int32
-        s = r.sum(axis=1)  # [B, O, M, N]
-        prods.append(ntt._center_mod(s, p))
+        # sum over LJ in int32 (|sum| <= LJ * p/2 < 2^24 for every parameter
+        # set); the default dtype-less .sum() promotes to emulated int64 on
+        # a chip with no 64-bit integer unit
+        s = r.sum(axis=1, dtype=jnp.int32)  # [B, O, M, N]
+        prods.append(ntt.fold_p_f32(s, p))
 
     coeffs = ntt.inverse_ntt(prods, mats=inv_mats)  # per prime [B, O, M, N]
     conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
