@@ -126,10 +126,10 @@ def main():
     lwe_small = jax.jit(lambda k, c: __import__(
         "tfhe_tpu.core.keyswitch", fromlist=["keyswitch"]).keyswitch(k, c))(
             sks.ksk, jnp.asarray(ct.data))
-    f = jax.jit(lambda lut_, lwe_: blind_rotate(sks.bsk, lut_, lwe_))
-    _sync(f(lut.acc, lwe_small))
+    f = jax.jit(blind_rotate)  # bsk as argument, NOT a captured constant
+    _sync(f(sks.bsk, lut.acc, lwe_small))
     t0 = time.time()
-    _sync(f(lut.acc, lwe_small))
+    _sync(f(sks.bsk, lut.acc, lwe_small))
     dt = time.time() - t0
     print(f"{'FULL blind_rotate':28s} {dt*1e3:9.1f} ms   "
           f"({dt*1e3/NSTEPS:7.3f} ms/step) -> {B/dt:.1f} PBS/s")
