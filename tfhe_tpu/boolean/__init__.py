@@ -102,7 +102,7 @@ class ServerKey:
             p.lwe_modular_std_dev, cks._enc_gen,
         )
         # CRT-NTT domain (single 32-bit plane): exact, MXU-shaped
-        self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log, bits=32)
+        self.bsk = core.prepare_bsk_auto(bsk, p.pbs_base_log, bits=32)
         self.ksk = core.prepare_ksk(ksk, p.ks_base_log, bits=32)
         acc = np.zeros((p.glwe_size, p.polynomial_size), dtype=np.uint32)
         acc[-1] = PLAINTEXT_TRUE

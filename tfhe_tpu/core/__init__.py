@@ -24,6 +24,23 @@ from .keygen import (
     PreparedKsk,
 )
 from ..ops.polymul_ntt import PreparedBskNtt, prepare_bsk_ntt
+from ..ops.fused_pbs import PreparedBskFused, prepare_bsk_fused
+
+
+def prepare_bsk_auto(bsk_standard, base_log, bits=64):
+    """Pick the BSK representation for the current backend: the fused
+    Pallas kernel layout on TPU (compiled hot loop in VMEM), the jnp
+    CRT-NTT layout elsewhere (CPU tests / virtual meshes).  Both paths
+    produce bit-identical blind rotations; TFHE_TPU_FUSED=0 forces jnp."""
+    import os
+
+    import jax
+
+    use_fused = (jax.default_backend() == "tpu"
+                 and os.environ.get("TFHE_TPU_FUSED", "1") != "0")
+    if use_fused:
+        return prepare_bsk_fused(bsk_standard, base_log, bits=bits)
+    return prepare_bsk_ntt(bsk_standard, base_log, bits=bits)
 from .multibit import (
     PreparedMultiBitBskNtt,
     generate_multi_bit_bootstrap_key,
@@ -59,6 +76,9 @@ __all__ = [
     "generate_keyswitch_key",
     "prepare_bsk",
     "prepare_bsk_ntt",
+    "prepare_bsk_fused",
+    "prepare_bsk_auto",
+    "PreparedBskFused",
     "PreparedBskNtt",
     "prepare_ksk",
     "PreparedBsk",

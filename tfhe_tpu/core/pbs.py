@@ -62,6 +62,11 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
     b_hat = modulus_switch(lwe[:, -1], N, bits=bits)  # [B]
     acc = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
 
+    from ..ops.fused_pbs import PreparedBskFused, blind_rotate_fused
+
+    if isinstance(bsk, PreparedBskFused):
+        return blind_rotate_fused(bsk, lut, lwe)
+
     mask_t = jnp.transpose(lwe[:, :-1])  # [n, B]
 
     if isinstance(bsk, PreparedBskNtt):

@@ -1,0 +1,768 @@
+"""Fused blind-rotation Pallas kernel: the whole PBS hot loop in VMEM.
+
+One pallas_call runs the full blind rotation (ref: fft_impl/fft64/crypto/
+bootstrap.rs:242-331 blind_rotate_assign + ggsw.rs:477-697 external product):
+the accumulator lives in VMEM scratch across a grid over the n mask
+elements, and each grid step performs
+
+  barrel-rotate (X^a_i, 2N-embedded) -> u64 subtract -> signed decompose
+  -> per-prime four-step forward NTT (int8 MXU matmuls)
+  -> spectrum MAC against the streamed BSK slice (hi/lo mulmod, VPU)
+  -> per-prime inverse NTT (int8 MXU matmuls)
+  -> streaming explicit-CRT accumulate into the u64 accumulator planes.
+
+Design notes (all arithmetic exact; the final accumulator is bit-identical
+to the jnp path in ops/polymul_ntt.py):
+
+- Layouts are [rows, N-sublanes, batch-lanes]: a coefficient array is
+  [N, B], reshaped [R, C*B] for stage A, so every NTT stage is one 2D
+  int8 x int8 -> int32 matmul.
+- The digit limb split is shared across primes: stage-A tables carry
+  limb_j(W * 2^(8i) mod p) so the operand-limb index i rides the matmul
+  contraction dimension (K = R * ld) instead of multiplying matmul count.
+- Torus u64 values are (lo, hi) int32 planes; adds/subs carry explicitly.
+- CRT streams per prime into the accumulator: x = sum_p c_p * (M/p) - a*M
+  with c_p = conv * (M/p)^-1 mod p (folded into the inverse-NTT tables)
+  and a recovered exactly from an f32 sum of c_p / p (the fractional
+  distance to an integer is |conv|/M < 2^-9, far above f32 error).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ntt
+
+_IMIN = np.int32(-(2 ** 31))
+
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FusedConfig:
+    """Static shape/arithmetic metadata for one parameter family."""
+
+    N: int
+    R: int
+    C: int
+    glwe_size: int      # G
+    levels: int         # L
+    base_log: int
+    bits: int           # 32 or 64
+    planes: int         # M torus planes (2 for u64, 1 for u32)
+    primes: Tuple[int, ...]
+    nl: Tuple[int, ...]   # table limb count per prime
+    nlx: Tuple[int, ...]  # balanced-residue limb count per prime
+    ld: int               # digit limb count
+    # CRT constants (per prime): 16-bit chunk tuples
+    k64: Tuple[Tuple[int, ...], ...]    # chunks of (M/p) mod 2^64
+    k64s: Tuple[Tuple[int, ...], ...]   # chunks of (M/p * 2^16) mod 2^64
+    k32: Tuple[Tuple[int, ...], ...]    # chunks of (M/p) mod 2^32
+    k32s: Tuple[Tuple[int, ...], ...]   # chunks of (M/p * 2^16) mod 2^32
+    km64: Tuple[int, ...]               # chunks of M mod 2^64
+    km32: Tuple[int, ...]               # chunks of M mod 2^32
+
+
+def _limb_cover_bits(nlimb: int) -> int:
+    """Magnitudes < 2^(8*nlimb - 1) split exactly into nlimb int8 limbs."""
+    return 8 * nlimb - 1
+
+
+def _chunks16(v: int, n: int) -> Tuple[int, ...]:
+    return tuple((v >> (16 * s)) & 0xFFFF for s in range(n))
+
+
+@functools.lru_cache(maxsize=None)
+def make_config(N: int, glwe_size: int, levels: int, base_log: int,
+                bits: int) -> FusedConfig:
+    R, C = ntt.four_step_factors(N)
+    planes = 2 if bits == 64 else 1
+    LJ = levels * glwe_size
+    # digit limbs: |digit| <= 2^(base_log - 1)
+    ld = 1
+    while (1 << (base_log - 1)) >= (1 << _limb_cover_bits(ld)):
+        ld += 1
+    # integer convolution bound: LJ * N * max|digit| * max plane value
+    bound = LJ * N * (1 << (base_log - 1)) * (1 << 32)
+    # choose the largest primes first until CRT covers 2 * bound with the
+    # >= 2^5 margin that keeps the alpha recovery trivially exact
+    order = sorted(range(len(ntt.PRIMES)), key=lambda i: -ntt.PRIMES[i])
+    primes, prod = [], 1
+    for i in order:
+        primes.append(i)
+        prod *= ntt.PRIMES[i]
+        if prod >= bound * 64:
+            break
+    assert prod >= bound * 64, "CRT prime pool too small for these params"
+    primes = tuple(sorted(primes))
+    plist = tuple(ntt.PRIMES[i] for i in primes)
+    nl = tuple(ntt.N_LIMBS[i] for i in primes)
+    nlx = []
+    for p in plist:
+        n_ = 1
+        while p // 2 + p // 512 >= (1 << _limb_cover_bits(n_)):
+            n_ += 1
+        nlx.append(n_)
+    # MAC fold bound: per-lj balanced products summed then folded via f32
+    assert LJ * (max(plist) // 2 + 1) < (1 << 23), "MAC sum exceeds f32 fold"
+    M = prod
+    k64, k64s, k32, k32s = [], [], [], []
+    for p in plist:
+        Mp = M // p
+        k64.append(_chunks16(Mp % (1 << 64), 4))
+        k64s.append(_chunks16((Mp << 16) % (1 << 64), 4))
+        k32.append(_chunks16(Mp % (1 << 32), 2))
+        k32s.append(_chunks16((Mp << 16) % (1 << 32), 2))
+    return FusedConfig(
+        N=N, R=R, C=C, glwe_size=glwe_size, levels=levels, base_log=base_log,
+        bits=bits, planes=planes, primes=plist, nl=nl, nlx=tuple(nlx), ld=ld,
+        k64=tuple(k64), k64s=tuple(k64s), k32=tuple(k32), k32s=tuple(k32s),
+        km64=_chunks16(M % (1 << 64), 4), km32=_chunks16(M % (1 << 32), 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host table builder
+# ---------------------------------------------------------------------------
+
+
+def _bal(x: np.ndarray, p: int) -> np.ndarray:
+    x = np.mod(x, p)
+    return np.where(x > p // 2, x - p, x).astype(np.int64)
+
+
+def _limb_cols(mat: np.ndarray, p: int, nlimb_tab: int,
+               nlimb_op: int) -> np.ndarray:
+    """mat [Q, K] int64 balanced -> int8 [(nlimb_tab * Q), (K * nlimb_op)]:
+    row (j, q) = limb_j, column (k, i) carries the 2^(8i) operand-limb
+    weight folded in mod p."""
+    Q, K = mat.shape
+    w = np.array([(1 << (8 * i)) % p for i in range(nlimb_op)], dtype=object)
+    ext = np.zeros((Q, K, nlimb_op), dtype=np.int64)
+    for i in range(nlimb_op):
+        ext[:, :, i] = _bal(mat * int(w[i]), p)
+    limbs = ntt._limbs_host(ext.reshape(Q, K * nlimb_op), nlimb_tab)
+    # [Q, K*nlimb_op, nlimb_tab] -> [(j, q), (k, i)]
+    return np.transpose(limbs, (2, 0, 1)).reshape(
+        nlimb_tab * Q, K * nlimb_op).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def _host_tables_fused(cfg: FusedConfig):
+    """Per-prime packed matmul/twiddle tables (numpy)."""
+    N, R, C = cfg.N, cfg.R, cfg.C
+    Msub = 1
+    for p in cfg.primes:
+        Msub *= p
+    out = []
+    for idx, p in enumerate(cfg.primes):
+        nl, nlx = cfg.nl[idx], cfg.nlx[idx]
+        g = ntt._find_generator(p)
+        psi = ntt._pow_mod(g, (p - 1) // (2 * N), p)
+        om = psi * psi % p
+        psi_t = np.array([ntt._pow_mod(psi, t % (2 * N), p)
+                          for t in range(2 * N)], dtype=np.int64)
+        om_t = np.array([ntt._pow_mod(om, t, p) for t in range(N)],
+                        dtype=np.int64)
+        psi_it = np.array([ntt._pow_mod(psi, (2 * N - t) % (2 * N), p)
+                           for t in range(2 * N)], dtype=np.int64)
+        om_it = np.array([ntt._pow_mod(om, (N - t) % N, p)
+                          for t in range(N)], dtype=np.int64)
+        ninv = ntt._pow_mod(N, p - 2, p)
+        cinv = pow((Msub // p) % p, p - 2, p)
+
+        r = np.arange(R, dtype=np.int64)
+        c = np.arange(C, dtype=np.int64)
+        k1 = np.arange(R, dtype=np.int64)
+        k2 = np.arange(C, dtype=np.int64)
+
+        W1T = psi_t[(k1[:, None] * 0 + r[None, :] * C) % (2 * N)] * om_t[
+            (C * np.outer(k1, r)) % N] % p                        # [K1, R]
+        TC = psi_t[c % (2 * N)][None, :] * om_t[
+            np.outer(k1, c) % N] % p                              # [K1, C]
+        W2T = om_t[(R * np.outer(k2, c)) % N] % p                 # [K2, C]
+        W2iT = om_it[(R * np.outer(c, k2)) % N] % p               # [C, K2]
+        TIC = psi_it[c % (2 * N)][:, None] * om_it[
+            np.outer(c, k1) % N] % p * ninv % p                   # [C, K1]
+        W1iT = psi_it[(r * C) % (2 * N)][:, None] * om_it[
+            (C * np.outer(r, k1)) % N] % p * cinv % p             # [R, K1]
+
+        def _sh(x):
+            b = _bal(x, p).astype(np.int32)
+            return b, ntt.shoup_precompute_host(b, p)
+
+        TCb, TCsh = _sh(TC)
+        TICb, TICsh = _sh(TIC)
+        out.append(dict(
+            W1A8=_limb_cols(_bal(W1T, p), p, nl, cfg.ld),    # [nl*K1, R*ld]
+            W2B8=_limb_cols(_bal(W2T, p), p, nl, nlx),       # [nl*K2, C*nlx]
+            W2I8=_limb_cols(_bal(W2iT, p), p, nl, nlx),      # [nl*C, K2*nlx]
+            W1I8=_limb_cols(_bal(W1iT, p), p, nl, nlx),      # [nl*R, K1*nlx]
+            TC=TCb.astype(np.int32),                         # [K1, C]
+            TCsh=TCsh.astype(np.int32),
+            TIC=TICb.astype(np.int32),                       # [C, K1]
+            TICsh=TICsh.astype(np.int32),
+        ))
+    return tuple(out)
+
+
+_TABLE_KEYS = ("W1A8", "W2B8", "W2I8", "W1I8", "TC", "TCsh", "TIC", "TICsh")
+
+
+def build_tables_device(cfg: FusedConfig):
+    host = _host_tables_fused(cfg)
+    return tuple(tuple(jnp.asarray(t[k]) for k in _TABLE_KEYS) for t in host)
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers (traced; run inside and outside pallas identically)
+# ---------------------------------------------------------------------------
+
+
+def _fold(x, p: int):
+    q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(
+        jnp.int32)
+    return x - q * np.int32(p)
+
+
+def _shoup(a, b, bs, p: int):
+    q = jax.lax.shift_right_arithmetic(a * bs, np.int32(16))
+    r = a * b - q * np.int32(p)
+    half = p // 2
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r < -half, r + p, r)
+    return jnp.where(r < -half, r + p, r)
+
+
+def _limb_rows(x, nlimb: int):
+    """[Rows, Cols] int32 -> [(Rows * nlimb), Cols] int8, row (r, i)."""
+    v = x
+    outs = []
+    for _ in range(nlimb):
+        l0 = ((v + 128) & 255) - 128
+        outs.append(l0.astype(jnp.int8))
+        v = (v - l0) >> 8
+    st = jnp.stack(outs, axis=1)  # [Rows, nlimb, Cols]
+    return st.reshape(x.shape[0] * nlimb, x.shape[1])
+
+
+def _horner(Y, nl: int, K: int, p: int):
+    """[(nl * K), Cols] int32 limb-plane matmul output -> [K, Cols] balanced."""
+    Yv = Y.reshape(nl, K, Y.shape[-1])
+    h = _fold(Yv[nl - 1], p)
+    for j in range(nl - 2, -1, -1):
+        h = _fold(h * 256 + Yv[j], p)
+    return h
+
+
+def _ult(a, b):
+    return (a ^ _IMIN) < (b ^ _IMIN)
+
+
+def _u64_add_signed(lo, hi, t):
+    """(lo, hi) u64-planes += signed int32 t."""
+    lo2 = lo + t
+    return lo2, hi + (t >> 31) + _ult(lo2, lo).astype(jnp.int32)
+
+
+def _u64_sub(lo, hi, tlo, thi):
+    lo2 = lo - tlo
+    return lo2, hi - thi - _ult(lo, tlo).astype(jnp.int32)
+
+
+def _u64_neg(lo, hi):
+    return -lo, -hi - 1 + (lo == 0).astype(jnp.int32)
+
+
+def _mulacc_c16_k64(lo, hi, c, kch):
+    """u64-planes += c * K, |c| <= 2^15, K given as 4 uint16 chunks."""
+    k0, k1, k2, k3 = [np.int32(v) for v in kch]
+    if int(k0):
+        lo, hi = _u64_add_signed(lo, hi, c * k0)
+    if int(k1):
+        P1 = c * k1
+        t = (P1 & 0xFFFF) << 16
+        lo2 = lo + t
+        hi = hi + _ult(lo2, lo).astype(jnp.int32) + (P1 >> 16)
+        lo = lo2
+    if int(k2):
+        hi = hi + c * k2
+    if int(k3):
+        hi = hi + ((c * k3) << 16)
+    return lo, hi
+
+
+def _split_c16(c):
+    c0 = ((c + 32768) & 65535) - 32768
+    return c0, (c - c0) >> 16
+
+
+def _mulacc_c_k64(lo, hi, c, kch, ksch):
+    """u64-planes += c * K for |c| < 2^17 (split into two 16-bit pieces)."""
+    c0, c1 = _split_c16(c)
+    lo, hi = _mulacc_c16_k64(lo, hi, c0, kch)
+    return _mulacc_c16_k64(lo, hi, c1, ksch)
+
+
+def _low32_mul(c, kch):
+    """low 32 bits of c * K (wrapping int32), |c| < 2^17.
+
+    c = c0 + 2^16 c1; low32(c*K) = c0*k0 + (c0*k1)<<16 + (c1*k0)<<16
+    with k0/k1 the 16-bit chunks of K mod 2^32 (the c1 term only sees
+    K's low 16 bits: c1*K*2^16 mod 2^32 = (c1*k0)<<16)."""
+    c0, c1 = _split_c16(c)
+    k0, k1 = [np.int32(v) for v in kch]
+    return c0 * k0 + ((c0 * k1) << 16) + ((c1 * k0) << 16)
+
+
+def _lsr32(x, k: int):
+    if k == 0:
+        return x
+    return (x >> k) & np.int32((1 << (32 - k)) - 1)
+
+
+def _decompose_planes(dlo, dhi, cfg: FusedConfig):
+    """ct1 planes -> digit list [L] (weight-descending), each int32.
+
+    Bit-exact re-expression of ops/decomposition.signed_decompose on
+    (lo, hi) int32 planes (ref: commons/math/decomposition/decomposer.rs).
+    """
+    bl, L, bits = cfg.base_log, cfg.levels, cfg.bits
+    blL = bl * L
+    k = bits - blL - 1  # shift for x >> (non_rep - 1)
+    mask_b = np.int32((1 << bl) - 1)
+    one = np.int32(1)
+
+    if bits == 32:
+        st = _lsr32(dlo, k)
+        st = (st >> 1) + (st & one)
+        if blL < 32:
+            st = st & np.int32((1 << blL) - 1)
+        slo, shi = st, None
+    elif blL + 1 <= 31:
+        # state fits one plane; x >> k uses hi only (k >= 33)
+        st = _lsr32(dhi, k - 32)
+        st = (st >> 1) + (st & one)
+        st = st & np.int32((1 << blL) - 1)
+        slo, shi = st, None
+    else:
+        if k >= 32:
+            slo = _lsr32(dhi, k - 32)
+            shi = jnp.zeros_like(dhi)
+        else:
+            slo = _lsr32(dlo, k) | (dhi << (32 - k))
+            shi = _lsr32(dhi, k)
+        # (state + 1) >> 1 across planes
+        slo2 = slo + one
+        shi = shi + _ult(slo2, slo).astype(jnp.int32)
+        slo = _lsr32(slo2, 1) | (shi << 31)
+        shi = _lsr32(shi, 1)
+        hi_bits = blL - 32
+        shi = shi & np.int32((1 << hi_bits) - 1) if hi_bits < 32 else shi
+
+    digits = []
+    for _ in range(L):
+        res = slo & mask_b
+        if shi is None:
+            slo = _lsr32(slo, bl)
+        else:
+            slo = _lsr32(slo, bl) | (shi << (32 - bl))
+            shi = _lsr32(shi, bl)
+        carry = _lsr32(((res - one) | slo) & res, bl - 1) & one
+        if shi is None:
+            slo = slo + carry
+        else:
+            slo2 = slo + carry
+            shi = shi + _ult(slo2, slo).astype(jnp.int32)
+            slo = slo2
+        digits.append(res - (carry << bl))
+    digits.reverse()  # largest weight (level 1) first
+    return digits
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _forward_prime(X8, tabs, idx: int, cfg: FusedConfig, Bb: int):
+    """X8 [(R*ld), C*B] digit limbs -> spectrum [K2, K1*B] balanced."""
+    p = cfg.primes[idx]
+    nl, nlx = cfg.nl[idx], cfg.nlx[idx]
+    K1, K2, C = cfg.R, cfg.C, cfg.C
+    W1A8, W2B8, _, _, TC, TCsh, _, _ = tabs[idx]
+    YA = jnp.dot(W1A8, X8, preferred_element_type=jnp.int32)
+    y = _horner(YA, nl, K1, p)                      # [K1, C*B]
+    y3 = y.reshape(K1, C, Bb)
+    y3 = _shoup(y3, TC[:, :, None], TCsh[:, :, None], p)
+    yt = jnp.transpose(y3, (1, 0, 2)).reshape(C, K1 * Bb)
+    Y8 = _limb_rows(yt, nlx)                        # [C*nlx, K1*B]
+    S = jnp.dot(W2B8, Y8, preferred_element_type=jnp.int32)
+    return _horner(S, nl, K2, p)                    # [K2, K1*B]
+
+
+def _inverse_prime(macc, tabs, idx: int, cfg: FusedConfig, Bb: int):
+    """spectrum MAC output [K2, K1*B] -> c_hat coefficients [N, B]."""
+    p = cfg.primes[idx]
+    nl, nlx = cfg.nl[idx], cfg.nlx[idx]
+    K1, K2, C, R = cfg.R, cfg.C, cfg.C, cfg.R
+    _, _, W2I8, W1I8, _, _, TIC, TICsh = tabs[idx]
+    S8 = _limb_rows(macc, nlx)                      # [K2*nlx, K1*B]
+    U = jnp.dot(W2I8, S8, preferred_element_type=jnp.int32)
+    u = _horner(U, nl, C, p)                        # [C, K1*B]
+    u3 = u.reshape(C, K1, Bb)
+    u3 = _shoup(u3, TIC[:, :, None], TICsh[:, :, None], p)
+    ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * Bb)
+    U8 = _limb_rows(ut, nlx)                        # [K1*nlx, C*B]
+    V = jnp.dot(W1I8, U8, preferred_element_type=jnp.int32)
+    chat = _horner(V, nl, R, p)                     # [R, C*B]
+    return chat.reshape(cfg.N, Bb)
+
+
+def _step_math(cfg: FusedConfig, tabs, khi_t, klo_t, acc, abit, Bb: int):
+    """One blind-rotation step on accumulator planes (pure function).
+
+    acc:  [G, M, N, Bb] int32 planes
+    abit: [1, 1, 1, Bb] int32 rotation amounts in [0, 2N)
+    khi_t/klo_t: [N, P*LJ*OM] int32 transposed key slice for this step
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+    P = len(cfg.primes)
+    nbits = (2 * N).bit_length() - 1  # log2(2N)
+    inv_p = [np.float32(1.0 / p) for p in cfg.primes]
+
+    if True:
+        # ---- barrel rotation on the 2N embedding -------------------------
+        if cfg.bits == 64:
+            lo, hi = acc[:, 0], acc[:, 1]         # [G, N, Bb]
+            nlo, nhi = _u64_neg(lo, hi)
+            ext = jnp.stack(
+                [jnp.concatenate([lo, nlo], axis=1),
+                 jnp.concatenate([hi, nhi], axis=1)], axis=1,
+            )                                     # [G, 2, 2N, Bb]
+        else:
+            lo = acc[:, 0]
+            ext = jnp.concatenate([lo, -lo], axis=1)[:, None]  # [G,1,2N,Bb]
+        for t in range(nbits):
+            s = 1 << t
+            rolled = jnp.concatenate(
+                [ext[:, :, -s:, :], ext[:, :, :-s, :]], axis=2)
+            bit = (abit >> t) & 1
+            ext = jnp.where(bit == 1, rolled, ext)
+        rot = ext[:, :, :N, :]                    # [G, M, N, Bb]
+
+        if cfg.bits == 64:
+            dlo, dhi = _u64_sub(rot[:, 0], rot[:, 1], acc[:, 0], acc[:, 1])
+        else:
+            dlo, dhi = rot[:, 0] - acc[:, 0], None
+
+        # ---- signed decomposition ---------------------------------------
+        # digits rows (l, j): level-major, weight-descending
+        digs = _decompose_planes(dlo, dhi, cfg)   # list[L] of [G, N, Bb]
+        X8s = []
+        for l in range(L):
+            for j in range(G):
+                d = digs[l][j]                    # [N, Bb]
+                X8s.append(_limb_rows(d.reshape(R, C * Bb), cfg.ld))
+
+        # ---- per-prime forward + MAC + inverse + CRT ---------------------
+        lo_acc = [acc[o, 0] for o in range(G)]
+        hi_acc = [acc[o, 1] for o in range(G)] if cfg.bits == 64 else None
+        alphaf = [[jnp.zeros((N, Bb), jnp.float32) for _ in range(M)]
+                  for _ in range(G)]
+        for ip in range(P):
+            p = cfg.primes[ip]
+            spec = [
+                _forward_prime(X8s[lj], tabs, ip, cfg, Bb)
+                .reshape(N, Bb)                   # flat k2-major spectrum
+                for lj in range(LJ)
+            ]
+            for o in range(G):
+                for m in range(M):
+                    om = o * M + m
+                    sacc = jnp.zeros((N, Bb), jnp.int32)
+                    for lj in range(LJ):
+                        col = (ip * LJ + lj) * OM + om
+                        kh = khi_t[:, col:col + 1]
+                        kl = klo_t[:, col:col + 1]
+                        t1 = _fold(spec[lj] * kh, p)
+                        sacc = sacc + _fold(t1 * 256 + spec[lj] * kl, p)
+                    macc = _fold(sacc, p).reshape(C, R * Bb)
+                    chat = _inverse_prime(macc, tabs, ip, cfg, Bb)  # [N, Bb]
+                    alphaf[o][m] = alphaf[o][m] + chat.astype(
+                        jnp.float32) * inv_p[ip]
+                    if cfg.bits == 64:
+                        if m == 0:
+                            lo_acc[o], hi_acc[o] = _mulacc_c_k64(
+                                lo_acc[o], hi_acc[o], chat,
+                                cfg.k64[ip], cfg.k64s[ip])
+                        else:
+                            hi_acc[o] = hi_acc[o] + _low32_mul(
+                                chat, cfg.k32[ip])
+                    else:
+                        lo_acc[o] = lo_acc[o] + _low32_mul(
+                            chat, cfg.k32[ip])
+
+        # ---- alpha correction: subtract alpha * M ------------------------
+        for o in range(G):
+            a0 = -jnp.round(alphaf[o][0]).astype(jnp.int32)
+            if cfg.bits == 64:
+                lo_acc[o], hi_acc[o] = _mulacc_c16_k64(
+                    lo_acc[o], hi_acc[o], a0, cfg.km64)
+                if M == 2:
+                    a1 = -jnp.round(alphaf[o][1]).astype(jnp.int32)
+                    hi_acc[o] = hi_acc[o] + _low32_mul(a1, cfg.km32)
+            else:
+                lo_acc[o] = lo_acc[o] + _low32_mul(a0, cfg.km32)
+
+        if cfg.bits == 64:
+            new_acc = jnp.stack(
+                [jnp.stack([lo_acc[o], hi_acc[o]], axis=0) for o in range(G)],
+                axis=0)
+        else:
+            new_acc = jnp.stack(
+                [lo_acc[o][None] for o in range(G)], axis=0)
+        return new_acc
+
+
+def _make_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
+    P = len(cfg.primes)
+
+    def kernel(ahat_ref, acc0_ref, khi_ref, klo_ref, *rest):
+        tabs_flat = rest[:8 * P]
+        out_ref = rest[8 * P]
+        acc_ref = rest[8 * P + 1]
+        tabs = tuple(
+            tuple(tabs_flat[8 * i + j][...] for j in range(8))
+            for i in range(P)
+        )
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = acc0_ref[0]
+
+        a = ahat_ref[pl.ds(step, 1), :]           # [1, Bb] int32
+        abit = a.reshape(1, 1, 1, a.shape[-1])
+        # one bulk lane->sublane transpose of the step's key slice so every
+        # MAC is a sublane-broadcast multiply: [P*LJ*OM, N] -> [N, P*LJ*OM]
+        khi_t = jnp.transpose(khi_ref[0].astype(jnp.int32))
+        klo_t = jnp.transpose(klo_ref[0].astype(jnp.int32))
+        acc_ref[...] = _step_math(cfg, tabs, khi_t, klo_t, acc_ref[...],
+                                  abit, Bb)
+
+        @pl.when(step == n_steps - 1)
+        def _():
+            out_ref[0] = acc_ref[...]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper + plane conversions
+# ---------------------------------------------------------------------------
+
+
+def _to_planes(x, bits: int):
+    """[B, G, N] uint -> [G, M, N, B] int32 bit-pattern planes."""
+    if bits == 64:
+        lo = jax.lax.bitcast_convert_type(
+            (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            (x >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+        pl_ = jnp.stack([lo, hi], axis=1)        # [B, M, G, N]? no:
+        # lo/hi are [B, G, N]; stack axis=1 -> [B, M, G, N]
+        return jnp.transpose(pl_, (2, 1, 3, 0))  # [G, M, N, B]
+    lo = jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.int32)
+    return jnp.transpose(lo[:, None], (2, 1, 3, 0))  # [G, 1, N, B]
+
+
+def _from_planes(planes, bits: int):
+    """[G, M, N, B] int32 planes -> [B, G, N] uint."""
+    if bits == 64:
+        lo = jax.lax.bitcast_convert_type(planes[:, 0], jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(planes[:, 1], jnp.uint32)
+        x = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+        return jnp.transpose(x, (2, 0, 1))       # [B, G, N]
+    lo = jax.lax.bitcast_convert_type(planes[:, 0], jnp.uint32)
+    return jnp.transpose(lo, (2, 0, 1))
+
+
+def _pick_bblk(B: int) -> int:
+    if B >= 128 and B % 128 == 0:
+        return 128
+    return B
+
+
+def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
+                              ahat, acc0_planes):
+    """Run the fused kernel.
+
+    ahat:        [n, B] int32 mod-switched mask (values in [0, 2N])
+    acc0_planes: [G, M, N, B] int32
+    returns      [G, M, N, B] int32 updated accumulator planes.
+    """
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
+    Bb = _pick_bblk(B)
+    nblk = B // Bb
+    n_pad = -(-n_steps // 8) * 8
+    if n_pad != n_steps:
+        ahat = jnp.concatenate(
+            [ahat, jnp.zeros((n_pad - n_steps, B), jnp.int32)], axis=0)
+
+    # [G, M, N, B] -> [nblk, G, M, N, Bb]
+    acc0_b = jnp.moveaxis(
+        acc0_planes.reshape(G, M, N, nblk, Bb), 3, 0)
+
+    kernel = _make_kernel(cfg, n_steps, Bb)
+    grid = (nblk, n_steps)
+    tdim = lambda nd: (lambda b, i: (0,) * nd)
+    in_specs = [
+        pl.BlockSpec((n_pad, Bb), lambda b, i: (0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    tables_flat = [t for prime_tabs in tables for t in prime_tabs]
+    for t in tables_flat:
+        in_specs.append(
+            pl.BlockSpec(t.shape, tdim(t.ndim), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, M, N, Bb),
+                               lambda b, i: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, G, M, N, Bb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((G, M, N, Bb), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(ahat, acc0_b, khi, klo, *tables_flat)
+    return jnp.moveaxis(out, 0, 3).reshape(G, M, N, B)
+
+
+# ---------------------------------------------------------------------------
+# prepared BSK (fused layout) + blind rotate entry point
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PreparedBskFused:
+    """BSK spectra in fused-kernel order.
+
+    khi/klo: [n, P, LJ, OM, N] int16/int8 hi/lo bytes of the balanced
+    per-prime key spectra, spectrum index k2-major (row) k1-minor (col).
+    (ref: lwe_bootstrap_key_conversion.rs:21 — the standard->transform-domain
+    key conversion, here to the exact CRT-NTT domain.)
+    """
+
+    khi: Any
+    klo: Any
+    tables: Any
+    cfg: FusedConfig
+    base_log: int
+    levels: int
+    glwe_size: int
+    polynomial_size: int
+    input_dim: int
+    bits: int = 64
+
+
+jax.tree_util.register_pytree_node(
+    PreparedBskFused,
+    lambda b: ((b.khi, b.klo, b.tables),
+               (b.cfg, b.base_log, b.levels, b.glwe_size, b.polynomial_size,
+                b.input_dim, b.bits)),
+    lambda meta, data: PreparedBskFused(data[0], data[1], data[2], *meta),
+)
+
+
+def _spectrum_reorder(spec_flat, R: int, C: int):
+    """[..., N] flat (k1*C + k2) -> [..., N] flat (k2*R + k1)."""
+    lead = spec_flat.shape[:-1]
+    s = spec_flat.reshape(*lead, R, C)
+    return jnp.swapaxes(s, -1, -2).reshape(*lead, R * C)
+
+
+def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
+                      bits: int = 64) -> PreparedBskFused:
+    """Standard-domain BSK [n, L, J, O, N] uint -> fused-kernel key."""
+    n, L, J, O, N = bsk_standard.shape
+    cfg = make_config(N, J, L, base_log, bits)
+    R, C = cfg.R, cfg.C
+    M = cfg.planes
+    k = jnp.asarray(bsk_standard)
+    if bits == 64:
+        planes = jnp.stack(
+            [((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+             for s in (0, 32)], axis=-2)          # [n, L, J, O, M, N]
+    else:
+        planes = k.astype(jnp.int64)[..., None, :]
+    spec_all = ntt.forward_ntt(planes)            # per ntt.PRIMES
+    prime_idx = [ntt.PRIMES.index(p) for p in cfg.primes]
+    spec = jnp.stack([spec_all[i] for i in prime_idx])  # [P, n, L, J, O, M, N]
+    spec = _spectrum_reorder(spec, R, C)
+    # [P, n, L, J, O, M, N] -> [n, P, L*J, O*M, N]
+    spec = jnp.moveaxis(spec, 0, 1)
+    # dims now [n, P, L, J, O, M, N]; the MAC contracts the GGSW row index
+    # j against the accumulator row and outputs poly o (ref: ggsw.rs
+    # update_with_fmadd) — rows (l, j) level-major, outputs (o, m); the
+    # (P, LJ, OM) dims merge so the per-step slice is a clean 2D tile
+    spec = spec.reshape(n, len(cfg.primes) * L * J * O * M, N)
+    klo = ((spec + 128) & 255) - 128
+    khi = ((spec - klo) >> 8).astype(jnp.int16)
+    klo = klo.astype(jnp.int8)
+    return PreparedBskFused(
+        khi=khi, klo=klo, tables=build_tables_device(cfg), cfg=cfg,
+        base_log=base_log, levels=L, glwe_size=J, polynomial_size=N,
+        input_dim=n, bits=bits,
+    )
+
+
+def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
+    """lut [B, G, N] or [G, N] uint, lwe [B, n+1] uint -> [B, G, N] uint.
+
+    Bit-identical to ops/polymul_ntt-based blind_rotate (ref:
+    bootstrap.rs:242-331); the heavy loop runs in the fused Pallas kernel.
+    """
+    from . import polymul
+    from ..core.pbs import modulus_switch
+
+    cfg = bsk.cfg
+    bits, N = cfg.bits, cfg.N
+    dt = jnp.uint64 if bits == 64 else jnp.uint32
+    lwe = jnp.asarray(lwe, dt)
+    B = lwe.shape[0]
+    lut = jnp.asarray(lut, dt)
+    if lut.ndim == 2:
+        lut = jnp.broadcast_to(lut[None], (B,) + lut.shape)
+
+    b_hat = modulus_switch(lwe[:, -1], N, bits=bits)      # [B]
+    acc0 = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
+    ahat = modulus_switch(lwe[:, :-1], N, bits=bits)      # [B, n]
+    ahat = jnp.transpose(ahat) & np.int32(2 * N - 1)      # [n, B]
+
+    acc0_planes = _to_planes(acc0, bits)
+    out_planes = fused_blind_rotate_planes(
+        cfg, bsk.tables, bsk.khi, bsk.klo, ahat, acc0_planes)
+    return _from_planes(out_planes, bits)

@@ -92,7 +92,7 @@ class ServerKey:
             self.bsk = core.prepare_multi_bit_bsk_ntt(
                 bsk, p.pbs_base_log, p.grouping_factor)
         else:
-            self.bsk = core.prepare_bsk_ntt(bsk, p.pbs_base_log)
+            self.bsk = core.prepare_bsk_auto(bsk, p.pbs_base_log)
         self.ksk = core.prepare_ksk(ksk, p.ks_base_log)
         self._lut_cache: dict = {}
         if p.encryption_key_choice.value == "big":
