@@ -107,10 +107,12 @@ class IntegerServerKey(SignedOps):
         the top block of each group mapped to 0/1.
         """
         msg = self._msg
-        assert msg >= 4, (
-            "single-carry propagation needs carry space >= message space "
-            "(e.g. PARAM_MESSAGE_2_CARRY_2); use full_propagate otherwise"
-        )
+        if msg < 4:
+            # the 3-state resolve needs packing room for states {0,1,2}
+            # against factor=msg; small-message sets (PARAM_MESSAGE_1_CARRY_1)
+            # propagate sequentially instead (ref: the radix/mod.rs
+            # sequential propagate path used by non-parallel ops)
+            return self._sequential_propagate(b, num=num)
         sks = self.key
         nb = len(b) // num
 
@@ -139,6 +141,40 @@ class IntegerServerKey(SignedOps):
             noise=carries.noise[top_idx],
         )
         return clean, carry_out
+
+    def _sequential_propagate(self, b: ShortintBatch, num: int = 1
+                              ) -> Tuple[ShortintBatch, ShortintBatch]:
+        """Carry chain one block at a time, batched across the `num` groups.
+
+        Works for every parameter set incl. msg < 4 as long as each block's
+        degree + 1 fits the total modulus (degrees <= 2*msg - 2 guarantees
+        it: 2*msg - 2 + 1 < msg * carry for carry >= 2).
+        """
+        sks = self.key
+        nb = len(b) // num
+        # view as [num, nb]; process block index i across all groups at once
+        idx = np.arange(num) * nb
+        carry = sks.trivial_batch(np.zeros(num, dtype=np.int64), num)
+        clean_parts = []
+        for i in range(nb):
+            rows = idx + i
+            blk = ShortintBatch(
+                data=b.data[rows], degrees=b.degrees[rows],
+                message_modulus=b.message_modulus,
+                carry_modulus=b.carry_modulus, noise=b.noise[rows],
+            )
+            s = sks.unchecked_add_batch(blk, carry)
+            clean_parts.append(sks.message_extract_batch(s))
+            carry = sks.carry_extract_batch(s)
+        data = np.stack([c.data for c in clean_parts], axis=1)  # [num, nb, sz]
+        degs = np.stack([c.degrees for c in clean_parts], axis=1)
+        noi = np.stack([c.noise for c in clean_parts], axis=1)
+        clean = ShortintBatch(
+            data=data.reshape(num * nb, -1), degrees=degs.reshape(-1),
+            message_modulus=b.message_modulus, carry_modulus=b.carry_modulus,
+            noise=noi.reshape(-1),
+        )
+        return clean, carry
 
     def full_propagate(self, b: ShortintBatch, num: int = 1) -> ShortintBatch:
         """Clean blocks of any degree < total_modulus

@@ -431,6 +431,137 @@ def _inverse_prime(macc, tabs, idx: int, cfg: FusedConfig, Bb: int):
     return chat.reshape(cfg.N, Bb)
 
 
+def _rot_dec_limbs(cfg: FusedConfig, acc, abit, Bb: int):
+    """Rotation + u64 subtract + signed decompose + shared digit limbs.
+
+    acc [G, M, N, Bb] int32 planes; abit [1, 1, 1, Bb] rotation amounts.
+    Returns X8 [LJ, R*ld, C*Bb] int8 digit-limb rows (shared across primes).
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L = cfg.glwe_size, cfg.levels
+    nbits = (2 * N).bit_length() - 1  # log2(2N)
+    # per-(g, plane) 2D rotations: 4D roll/select chains blow up the
+    # Mosaic compiler; [2N, Bb] chains compile and vectorize cleanly
+    ab2 = abit.reshape(1, abit.shape[-1])         # [1, Bb]
+
+    def _rot2d(ext):
+        for t in range(nbits):
+            s = 1 << t
+            rolled = jnp.concatenate([ext[-s:], ext[:-s]], axis=0)
+            ext = jnp.where(((ab2 >> t) & 1) == 1, rolled, ext)
+        return ext
+
+    rot_g = []
+    for g in range(G):
+        if cfg.bits == 64:
+            lo, hi = acc[g, 0], acc[g, 1]         # [N, Bb]
+            nlo, nhi = _u64_neg(lo, hi)
+            elo = _rot2d(jnp.concatenate([lo, nlo], axis=0))
+            ehi = _rot2d(jnp.concatenate([hi, nhi], axis=0))
+            rot_g.append((elo[:N], ehi[:N]))
+        else:
+            lo = acc[g, 0]
+            elo = _rot2d(jnp.concatenate([lo, -lo], axis=0))
+            rot_g.append((elo[:N], None))
+
+    if cfg.bits == 64:
+        subs = [_u64_sub(rot_g[g][0], rot_g[g][1], acc[g, 0], acc[g, 1])
+                for g in range(G)]
+        dlo = jnp.stack([s[0] for s in subs], axis=0)   # [G, N, Bb]
+        dhi = jnp.stack([s[1] for s in subs], axis=0)
+    else:
+        dlo = jnp.stack([rot_g[g][0] - acc[g, 0] for g in range(G)], axis=0)
+        dhi = None
+
+    # digits rows (l, j): level-major, weight-descending
+    digs = _decompose_planes(dlo, dhi, cfg)       # list[L] of [G, N, Bb]
+    X8s = []
+    for l in range(L):
+        for j in range(G):
+            d = digs[l][j]                        # [N, Bb]
+            X8s.append(_limb_rows(d.reshape(R, C * Bb), cfg.ld))
+    return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb] int8
+
+
+def _prime_block(cfg: FusedConfig, tab_ip, ip: int, X8, khi_p, klo_p,
+                 Bb: int):
+    """Forward NTT + MAC + inverse NTT for one prime.
+
+    X8 [LJ, R*ld, C*Bb] int8; khi_p/klo_p [LJ*OM, N] key slice of prime ip.
+    Returns chat [OM, N, Bb] int32 balanced explicit-CRT coefficients.
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+    p = cfg.primes[ip]
+    tabs = [tab_ip] * (ip + 1)  # _forward_prime indexes tabs[ip]
+    khi_t = jnp.transpose(khi_p.astype(jnp.int32))   # [N, LJ*OM]
+    klo_t = jnp.transpose(klo_p.astype(jnp.int32))
+    spec = [
+        _forward_prime(X8[lj], tabs, ip, cfg, Bb).reshape(N, Bb)
+        for lj in range(LJ)
+    ]
+    chats = []
+    for o in range(G):
+        for m in range(M):
+            om = o * M + m
+            sacc = jnp.zeros((N, Bb), jnp.int32)
+            for lj in range(LJ):
+                col = lj * OM + om
+                t1 = _fold(spec[lj] * khi_t[:, col:col + 1], p)
+                sacc = sacc + _fold(
+                    t1 * 256 + spec[lj] * klo_t[:, col:col + 1], p)
+            macc = _fold(sacc, p).reshape(C, R * Bb)
+            chats.append(_inverse_prime(macc, tabs, ip, cfg, Bb))
+    return jnp.stack(chats, axis=0)               # [OM, N, Bb]
+
+
+def _crt_accumulate(cfg: FusedConfig, chats, acc):
+    """Streaming explicit-CRT: acc += sum_p chat_p * (M/p) - alpha * M.
+
+    chats [P, OM, N, Bb] int32; acc [G, M, N, Bb] int32 planes.
+    """
+    N = cfg.N
+    G, M = cfg.glwe_size, cfg.planes
+    P = len(cfg.primes)
+    Bb = acc.shape[-1]
+    inv_p = [np.float32(1.0 / p) for p in cfg.primes]
+
+    lo_acc = [acc[o, 0] for o in range(G)]
+    hi_acc = [acc[o, 1] for o in range(G)] if cfg.bits == 64 else None
+    for o in range(G):
+        for m in range(M):
+            om = o * M + m
+            af = jnp.zeros((N, Bb), jnp.float32)
+            for ip in range(P):
+                chat = chats[ip, om]
+                af = af + chat.astype(jnp.float32) * inv_p[ip]
+                if cfg.bits == 64:
+                    if m == 0:
+                        lo_acc[o], hi_acc[o] = _mulacc_c_k64(
+                            lo_acc[o], hi_acc[o], chat,
+                            cfg.k64[ip], cfg.k64s[ip])
+                    else:
+                        hi_acc[o] = hi_acc[o] + _low32_mul(chat, cfg.k32[ip])
+                else:
+                    lo_acc[o] = lo_acc[o] + _low32_mul(chat, cfg.k32[ip])
+            a0 = -jnp.round(af).astype(jnp.int32)
+            if cfg.bits == 64:
+                if m == 0:
+                    lo_acc[o], hi_acc[o] = _mulacc_c16_k64(
+                        lo_acc[o], hi_acc[o], a0, cfg.km64)
+                else:
+                    hi_acc[o] = hi_acc[o] + _low32_mul(a0, cfg.km32)
+            else:
+                lo_acc[o] = lo_acc[o] + _low32_mul(a0, cfg.km32)
+
+    if cfg.bits == 64:
+        return jnp.stack(
+            [jnp.stack([lo_acc[o], hi_acc[o]], axis=0) for o in range(G)],
+            axis=0)
+    return jnp.stack([lo_acc[o][None] for o in range(G)], axis=0)
+
+
 def _step_math(cfg: FusedConfig, tabs, khi_t, klo_t, acc, abit, Bb: int):
     """One blind-rotation step on accumulator planes (pure function).
 
@@ -438,105 +569,18 @@ def _step_math(cfg: FusedConfig, tabs, khi_t, klo_t, acc, abit, Bb: int):
     abit: [1, 1, 1, Bb] int32 rotation amounts in [0, 2N)
     khi_t/klo_t: [N, P*LJ*OM] int32 transposed key slice for this step
     """
-    N, R, C = cfg.N, cfg.R, cfg.C
     G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
     LJ, OM = L * G, G * M
     P = len(cfg.primes)
-    nbits = (2 * N).bit_length() - 1  # log2(2N)
-    inv_p = [np.float32(1.0 / p) for p in cfg.primes]
 
-    if True:
-        # ---- barrel rotation on the 2N embedding -------------------------
-        if cfg.bits == 64:
-            lo, hi = acc[:, 0], acc[:, 1]         # [G, N, Bb]
-            nlo, nhi = _u64_neg(lo, hi)
-            ext = jnp.stack(
-                [jnp.concatenate([lo, nlo], axis=1),
-                 jnp.concatenate([hi, nhi], axis=1)], axis=1,
-            )                                     # [G, 2, 2N, Bb]
-        else:
-            lo = acc[:, 0]
-            ext = jnp.concatenate([lo, -lo], axis=1)[:, None]  # [G,1,2N,Bb]
-        for t in range(nbits):
-            s = 1 << t
-            rolled = jnp.concatenate(
-                [ext[:, :, -s:, :], ext[:, :, :-s, :]], axis=2)
-            bit = (abit >> t) & 1
-            ext = jnp.where(bit == 1, rolled, ext)
-        rot = ext[:, :, :N, :]                    # [G, M, N, Bb]
-
-        if cfg.bits == 64:
-            dlo, dhi = _u64_sub(rot[:, 0], rot[:, 1], acc[:, 0], acc[:, 1])
-        else:
-            dlo, dhi = rot[:, 0] - acc[:, 0], None
-
-        # ---- signed decomposition ---------------------------------------
-        # digits rows (l, j): level-major, weight-descending
-        digs = _decompose_planes(dlo, dhi, cfg)   # list[L] of [G, N, Bb]
-        X8s = []
-        for l in range(L):
-            for j in range(G):
-                d = digs[l][j]                    # [N, Bb]
-                X8s.append(_limb_rows(d.reshape(R, C * Bb), cfg.ld))
-
-        # ---- per-prime forward + MAC + inverse + CRT ---------------------
-        lo_acc = [acc[o, 0] for o in range(G)]
-        hi_acc = [acc[o, 1] for o in range(G)] if cfg.bits == 64 else None
-        alphaf = [[jnp.zeros((N, Bb), jnp.float32) for _ in range(M)]
-                  for _ in range(G)]
-        for ip in range(P):
-            p = cfg.primes[ip]
-            spec = [
-                _forward_prime(X8s[lj], tabs, ip, cfg, Bb)
-                .reshape(N, Bb)                   # flat k2-major spectrum
-                for lj in range(LJ)
-            ]
-            for o in range(G):
-                for m in range(M):
-                    om = o * M + m
-                    sacc = jnp.zeros((N, Bb), jnp.int32)
-                    for lj in range(LJ):
-                        col = (ip * LJ + lj) * OM + om
-                        kh = khi_t[:, col:col + 1]
-                        kl = klo_t[:, col:col + 1]
-                        t1 = _fold(spec[lj] * kh, p)
-                        sacc = sacc + _fold(t1 * 256 + spec[lj] * kl, p)
-                    macc = _fold(sacc, p).reshape(C, R * Bb)
-                    chat = _inverse_prime(macc, tabs, ip, cfg, Bb)  # [N, Bb]
-                    alphaf[o][m] = alphaf[o][m] + chat.astype(
-                        jnp.float32) * inv_p[ip]
-                    if cfg.bits == 64:
-                        if m == 0:
-                            lo_acc[o], hi_acc[o] = _mulacc_c_k64(
-                                lo_acc[o], hi_acc[o], chat,
-                                cfg.k64[ip], cfg.k64s[ip])
-                        else:
-                            hi_acc[o] = hi_acc[o] + _low32_mul(
-                                chat, cfg.k32[ip])
-                    else:
-                        lo_acc[o] = lo_acc[o] + _low32_mul(
-                            chat, cfg.k32[ip])
-
-        # ---- alpha correction: subtract alpha * M ------------------------
-        for o in range(G):
-            a0 = -jnp.round(alphaf[o][0]).astype(jnp.int32)
-            if cfg.bits == 64:
-                lo_acc[o], hi_acc[o] = _mulacc_c16_k64(
-                    lo_acc[o], hi_acc[o], a0, cfg.km64)
-                if M == 2:
-                    a1 = -jnp.round(alphaf[o][1]).astype(jnp.int32)
-                    hi_acc[o] = hi_acc[o] + _low32_mul(a1, cfg.km32)
-            else:
-                lo_acc[o] = lo_acc[o] + _low32_mul(a0, cfg.km32)
-
-        if cfg.bits == 64:
-            new_acc = jnp.stack(
-                [jnp.stack([lo_acc[o], hi_acc[o]], axis=0) for o in range(G)],
-                axis=0)
-        else:
-            new_acc = jnp.stack(
-                [lo_acc[o][None] for o in range(G)], axis=0)
-        return new_acc
+    X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
+    # un-transpose the key back to [P, LJ*OM, N] slices
+    kh = jnp.transpose(khi_t).reshape(P, LJ * OM, cfg.N)
+    kl = jnp.transpose(klo_t).reshape(P, LJ * OM, cfg.N)
+    chats = jnp.stack(
+        [_prime_block(cfg, tabs[ip], ip, X8, kh[ip], kl[ip], Bb)
+         for ip in range(P)], axis=0)
+    return _crt_accumulate(cfg, chats, acc)
 
 
 def _make_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
@@ -608,6 +652,83 @@ def _pick_bblk(B: int) -> int:
     return B
 
 
+def fused_blind_rotate_scan(cfg: FusedConfig, tables, khi, klo,
+                            ahat, acc0_planes):
+    """Blind rotation as a lax.scan of three Pallas kernels per step.
+
+    The full-step body OOMs the Mosaic compiler, so each step is split at
+    its natural seams into units that compile comfortably:
+      1. rotate + u64 subtract + decompose + shared digit limbs -> X8
+      2. per-prime forward NTT + spectrum MAC + inverse NTT -> chat_p
+      3. streaming explicit-CRT accumulate into the u64 planes.
+    Extra HBM traffic per step (X8 + chats + acc round-trips) is ~60MB,
+    well under the per-step compute time at batch 128.
+    """
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def rot_kernel(a_ref, acc_ref, x8_ref):
+        abit = a_ref[...].reshape(1, 1, 1, B)
+        x8_ref[...] = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
+
+    rot_call = pl.pallas_call(
+        rot_kernel,
+        in_specs=[vm] * 2, out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct(
+            (LJ, cfg.R * cfg.ld, cfg.C * B), jnp.int8),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    def make_prime_call(ip):
+        def prime_kernel(x8_ref, kh_ref, kl_ref, *rest):
+            tab_ip = tuple(rest[:8])
+            out_ref = rest[8]
+            out_ref[...] = _prime_block(
+                cfg, tuple(t[...] for t in tab_ip), ip, x8_ref[...],
+                kh_ref[...], kl_ref[...], B)
+
+        return pl.pallas_call(
+            prime_kernel,
+            in_specs=[vm] * 11, out_specs=vm,
+            out_shape=jax.ShapeDtypeStruct((OM, N, B), jnp.int32),
+            compiler_params=cparams,
+            interpret=interp,
+        )
+
+    prime_calls = [make_prime_call(ip) for ip in range(P)]
+
+    def crt_kernel(chats_ref, acc_ref, out_ref):
+        out_ref[...] = _crt_accumulate(cfg, chats_ref[...], acc_ref[...])
+
+    crt_call = pl.pallas_call(
+        crt_kernel,
+        in_specs=[vm] * 2, out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    tables_flat = tuple(tables)
+
+    def step(acc, xs):
+        a_row, kh, kl = xs                      # kh/kl [P*LJ*OM, N]
+        x8 = rot_call(a_row[None], acc)
+        khp = kh.reshape(P, LJ * OM, N)
+        klp = kl.reshape(P, LJ * OM, N)
+        chats = jnp.stack(
+            [prime_calls[ip](x8, khp[ip], klp[ip], *tables_flat[ip])
+             for ip in range(P)], axis=0)
+        return crt_call(chats, acc), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (ahat, khi, klo))
+    return out
+
+
 def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
                               ahat, acc0_planes):
     """Run the fused kernel.
@@ -616,6 +737,11 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
     acc0_planes: [G, M, N, B] int32
     returns      [G, M, N, B] int32 updated accumulator planes.
     """
+    import os
+
+    if os.environ.get("TFHE_TPU_MEGAKERNEL", "0") != "1":
+        return fused_blind_rotate_scan(cfg, tables, khi, klo, ahat,
+                                       acc0_planes)
     n_steps, B = ahat.shape
     G, M, N = cfg.glwe_size, cfg.planes, cfg.N
     P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
@@ -632,15 +758,18 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
 
     kernel = _make_kernel(cfg, n_steps, Bb)
     grid = (nblk, n_steps)
-    tdim = lambda nd: (lambda b, i: (0,) * nd)
+    # index maps must return int32 everywhere: with jax_enable_x64 a python
+    # literal 0 traces as i64 and Mosaic refuses the (i64, ...) index fn
+    z = np.int32(0)
+    tdim = lambda nd: (lambda b, i: (z,) * nd)
     in_specs = [
-        pl.BlockSpec((n_pad, Bb), lambda b, i: (0, b),
+        pl.BlockSpec((n_pad, Bb), lambda b, i: (z, b),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, 0, 0, 0, 0),
+        pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, z, z, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, 0, 0),
+        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, 0, 0),
+        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, z, z),
                      memory_space=pltpu.VMEM),
     ]
     tables_flat = [t for prime_tabs in tables for t in prime_tabs]
@@ -652,7 +781,7 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, G, M, N, Bb),
-                               lambda b, i: (b, 0, 0, 0, 0),
+                               lambda b, i: (b, z, z, z, z),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblk, G, M, N, Bb), jnp.int32),
         scratch_shapes=[pltpu.VMEM((G, M, N, Bb), jnp.int32)],
@@ -752,10 +881,20 @@ def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
     bits, N = cfg.bits, cfg.N
     dt = jnp.uint64 if bits == 64 else jnp.uint32
     lwe = jnp.asarray(lwe, dt)
-    B = lwe.shape[0]
+    B0 = lwe.shape[0]
+    # the kernel's [N, B] -> [R, C*B] views need lane-aligned batches on
+    # real hardware; pad by replicating row 0 and slice the result back
+    align = 128 if jax.default_backend() == "tpu" else 8
+    B = -(-B0 // align) * align
+    if B != B0:
+        lwe = jnp.concatenate(
+            [lwe, jnp.broadcast_to(lwe[:1], (B - B0,) + lwe.shape[1:])])
     lut = jnp.asarray(lut, dt)
     if lut.ndim == 2:
         lut = jnp.broadcast_to(lut[None], (B,) + lut.shape)
+    elif lut.shape[0] != B:
+        lut = jnp.concatenate(
+            [lut, jnp.broadcast_to(lut[:1], (B - B0,) + lut.shape[1:])])
 
     b_hat = modulus_switch(lwe[:, -1], N, bits=bits)      # [B]
     acc0 = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
@@ -765,4 +904,4 @@ def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
     acc0_planes = _to_planes(acc0, bits)
     out_planes = fused_blind_rotate_planes(
         cfg, bsk.tables, bsk.khi, bsk.klo, ahat, acc0_planes)
-    return _from_planes(out_planes, bits)
+    return _from_planes(out_planes, bits)[:B0]

@@ -82,6 +82,14 @@ class ClassicPBSParameters:
         return self.total_modulus - 1
 
     @property
+    def max_noise_level(self) -> int:
+        """Largest linear-combination noise factor an op may reach before a
+        bootstrap is required (ref: shortint/ciphertext/mod.rs:44-49
+        MaxNoiseLevel::from_msg_carry_modulus)."""
+        return (self.carry_modulus * self.message_modulus - 1) // (
+            self.message_modulus - 1)
+
+    @property
     def ciphertext_lwe_size(self) -> int:
         """Length of a fresh ciphertext vector under the encryption key."""
         if self.encryption_key_choice is EncryptionKeyChoice.BIG:
@@ -116,6 +124,7 @@ class MultiBitPBSParameters:
     total_modulus = ClassicPBSParameters.total_modulus
     delta = ClassicPBSParameters.delta
     max_degree = ClassicPBSParameters.max_degree
+    max_noise_level = ClassicPBSParameters.max_noise_level
 
 
 @dataclass(frozen=True)
@@ -149,6 +158,7 @@ class WopbsParameters:
     total_modulus = ClassicPBSParameters.total_modulus
     delta = ClassicPBSParameters.delta
     max_degree = ClassicPBSParameters.max_degree
+    max_noise_level = ClassicPBSParameters.max_noise_level
     ciphertext_lwe_size = ClassicPBSParameters.ciphertext_lwe_size
 
 

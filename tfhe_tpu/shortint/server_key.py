@@ -62,8 +62,9 @@ class ServerKey:
         self.message_modulus = p.message_modulus
         self.carry_modulus = p.carry_modulus
         self.max_degree = p.total_modulus - 1
-        # allows one bivariate packing of fresh inputs: msg_mod * 1 + 1
-        self.max_noise_level = p.message_modulus + 1
+        # (ref: shortint/ciphertext/mod.rs MaxNoiseLevel::from_msg_carry_modulus)
+        self.max_noise_level = (p.carry_modulus * p.message_modulus - 1) // (
+            p.message_modulus - 1)
         self.delta = p.delta
         self.is_multi_bit = isinstance(p, MultiBitPBSParameters)
         if _raw is None:
