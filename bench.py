@@ -63,7 +63,27 @@ def _measure(params, batch: int, iters: int, platform: str):
 
     got = cks.decrypt_batch(np.asarray(out))
     ok = bool(np.array_equal(got, (clear * 3 + 1) % msg))
-    return {
+
+    # MXU utilization: exact-NTT MAC count per PBS from the fused config
+    try:
+        from tfhe_tpu.ops.fused_pbs import make_config
+        cfg = make_config(params.polynomial_size, params.glwe_size,
+                          params.pbs_level, params.pbs_base_log,
+                          params.torus_bits)
+        LJ = params.pbs_level * params.glwe_size
+        OM = params.glwe_size * cfg.planes
+        macs_step = sum(
+            cfg.nl[i] * cfg.R * (cfg.R * cfg.ld) * LJ * cfg.C      # fwd A
+            + cfg.nl[i] * cfg.C * (cfg.C * cfg.nlx[i]) * LJ * cfg.R  # fwd B
+            + cfg.nl[i] * cfg.C * (cfg.C * cfg.nlx[i]) * OM * cfg.R  # inv B'
+            + cfg.nl[i] * cfg.R * (cfg.R * cfg.nlx[i]) * OM * cfg.C  # inv A'
+            for i in range(len(cfg.primes)))
+        macs_per_pbs = macs_step * params.lwe_dimension
+        mfu = pbs_per_s * macs_per_pbs / 197e12  # v5e ~197 T-MAC/s (int8)
+    except Exception:
+        macs_per_pbs, mfu = None, None
+
+    rec = {
         "metric": "ks_pbs_throughput_" + params.name.lower(),
         "value": round(pbs_per_s, 2),
         "unit": "PBS/s/chip",
@@ -74,6 +94,10 @@ def _measure(params, batch: int, iters: int, platform: str):
         "keygen_s": round(keygen_s, 1),
         "compile_s": round(compile_s, 1),
     }
+    if mfu is not None:
+        rec["mxu_utilization"] = round(mfu, 4)
+        rec["gmacs_per_pbs"] = round(macs_per_pbs / 1e9, 2)
+    return rec
 
 
 def main() -> None:

@@ -59,6 +59,10 @@ from .pbs import (
     pbs_then_keyswitch,
 )
 from .lut import fill_accumulator, make_lut_glwe
+from .packing_keyswitch import (
+    generate_packing_keyswitch_key,
+    packing_keyswitch,
+)
 
 __all__ = [
     "LweSecretKey",
@@ -84,6 +88,8 @@ __all__ = [
     "PreparedBsk",
     "PreparedKsk",
     "keyswitch",
+    "generate_packing_keyswitch_key",
+    "packing_keyswitch",
     "PreparedMultiBitBskNtt",
     "generate_multi_bit_bootstrap_key",
     "prepare_multi_bit_bsk_ntt",
