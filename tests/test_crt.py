@@ -13,6 +13,8 @@ from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_TEST as P
 BASIS = [2, 3]  # prod 6; each b_i fits the 2_2 block space with room for mul
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return gen_keys_crt(P, BASIS, seed=999)

@@ -12,6 +12,8 @@ from tfhe_tpu.examples import sha256_bool as sb
 from tfhe_tpu.params import BOOLEAN_SHA_TEST_PARAMETERS
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def bool_keys():
     return boolean.gen_keys(BOOLEAN_SHA_TEST_PARAMETERS, seed=808)

@@ -17,6 +17,8 @@ NB = 4  # 8-bit integers
 MOD = 1 << 8
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return gen_keys_radix(P, num_blocks=NB, seed=7777)

@@ -16,6 +16,8 @@ from tfhe_tpu.core import keyswitch_then_pbs
 from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_TEST as P
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return shortint.gen_keys(P, seed=8080)

@@ -11,6 +11,8 @@ from tfhe_tpu import shortint
 from tfhe_tpu.params import PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST as PMB
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return shortint.gen_keys(PMB, seed=777)

@@ -25,6 +25,8 @@ REL_TOL = 1.0 / 16.0  # (ref: lwe_encryption_noise.rs relative tolerance)
 N_SAMPLES = 4000
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 def _signed(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).astype(np.float64)
 

@@ -11,6 +11,8 @@ BITS = 8
 MOD = 1 << BITS
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 def wrap(v):
     v %= MOD
     return v - MOD if v >= MOD // 2 else v

@@ -8,6 +8,8 @@ import pytest
 from tfhe_tpu import strings
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return strings.gen_keys_test(seed=7)

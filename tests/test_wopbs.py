@@ -12,6 +12,8 @@ from tfhe_tpu import shortint
 from tfhe_tpu.params import WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST as P
 
 
+pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+
 @pytest.fixture(scope="module")
 def keys():
     return shortint.gen_keys_wopbs(P, seed=515)
