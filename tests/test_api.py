@@ -71,6 +71,7 @@ def test_trivial_encrypt(ctx):
     assert (t + a).decrypt(ctx) == 100
 
 
+@pytest.mark.slow
 def test_fheint_ops(ctx):
     from tfhe_tpu import FheInt8
 

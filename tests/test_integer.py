@@ -108,6 +108,7 @@ def test_trivial_radix(keys):
     assert cks.decrypt(sks.add_parallelized(t, cks.encrypt(10))) == 133
 
 
+@pytest.mark.slow
 def test_div_rem(keys):
     """Shift-subtract division incl. the reference's div-by-zero convention
     (ref: radix_parallel/div_mod.rs)."""
@@ -133,6 +134,7 @@ def test_encrypted_amount_shifts(keys):
         assert cks.decrypt(sks.rotate_left_parallelized(ca, amt)) == exp
 
 
+@pytest.mark.slow
 def test_scalar_div_rem(keys):
     cks, sks = keys
     for d in (3, 7, 12, 255):

@@ -13,6 +13,8 @@ from tfhe_tpu.apps import trivium as tv
 from tfhe_tpu.params import BOOLEAN_SHA_TEST_PARAMETERS
 
 
+pytestmark = pytest.mark.slow  # ~2.5 min of KATs: run via `pytest -m slow`
+
 def to_hex(bits):
     bits = [int(b) for b in bits]
     return "".join(
