@@ -144,18 +144,19 @@ def _bal(x: np.ndarray, p: int) -> np.ndarray:
 
 def _limb_cols(mat: np.ndarray, p: int, nlimb_tab: int,
                nlimb_op: int) -> np.ndarray:
-    """mat [Q, K] int64 balanced -> int8 [(nlimb_tab * Q), (K * nlimb_op)]:
-    row (j, q) = limb_j, column (k, i) carries the 2^(8i) operand-limb
-    weight folded in mod p."""
+    """mat [Q, K] int64 balanced -> int8 [(nlimb_tab * Q), (nlimb_op * K)]:
+    row (j, q) = limb_j, column (i, k) carries the 2^(8i) operand-limb
+    weight folded in mod p (i-major)."""
     Q, K = mat.shape
     w = np.array([(1 << (8 * i)) % p for i in range(nlimb_op)], dtype=object)
-    ext = np.zeros((Q, K, nlimb_op), dtype=np.int64)
+    ext = np.zeros((Q, nlimb_op, K), dtype=np.int64)
     for i in range(nlimb_op):
-        ext[:, :, i] = _bal(mat * int(w[i]), p)
-    limbs = ntt._limbs_host(ext.reshape(Q, K * nlimb_op), nlimb_tab)
-    # [Q, K*nlimb_op, nlimb_tab] -> [(j, q), (k, i)]
+        ext[:, i, :] = _bal(mat * int(w[i]), p)
+    limbs = ntt._limbs_host(ext.reshape(Q, nlimb_op * K), nlimb_tab)
+    # [Q, nlimb_op*K, nlimb_tab] -> [(j, q), (i, k)]: i-major columns match
+    # the concat-based operand limb rows (cheap buffer concat, no interleave)
     return np.transpose(limbs, (2, 0, 1)).reshape(
-        nlimb_tab * Q, K * nlimb_op).astype(np.int8)
+        nlimb_tab * Q, nlimb_op * K).astype(np.int8)
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,15 +248,17 @@ def _shoup(a, b, bs, p: int):
 
 
 def _limb_rows(x, nlimb: int):
-    """[Rows, Cols] int32 -> [(Rows * nlimb), Cols] int8, row (r, i)."""
+    """[Rows, Cols] int32 -> [(nlimb * Rows), Cols] int8, row (i, r).
+
+    i-major concat (row i*Rows + r): a plain buffer concat, far cheaper on
+    TPU than an interleaved stack; table columns are built to match."""
     v = x
     outs = []
     for _ in range(nlimb):
         l0 = ((v + 128) & 255) - 128
         outs.append(l0.astype(jnp.int8))
         v = (v - l0) >> 8
-    st = jnp.stack(outs, axis=1)  # [Rows, nlimb, Cols]
-    return st.reshape(x.shape[0] * nlimb, x.shape[1])
+    return jnp.concatenate(outs, axis=0)
 
 
 def _horner(Y, nl: int, K: int, p: int):
@@ -487,7 +490,7 @@ def _prime_block(cfg: FusedConfig, tab_ip, ip: int, X8, khi_p, klo_p,
                  Bb: int):
     """Forward NTT + MAC + inverse NTT for one prime.
 
-    X8 [LJ, R*ld, C*Bb] int8; khi_p/klo_p [LJ*OM, N] key slice of prime ip.
+    X8 [LJ, R*ld, C*Bb] int8; khi_p/klo_p [N, LJ*OM] key slice of prime ip.
     Returns chat [OM, N, Bb] int32 balanced explicit-CRT coefficients.
     """
     N, R, C = cfg.N, cfg.R, cfg.C
@@ -574,11 +577,11 @@ def _step_math(cfg: FusedConfig, tabs, khi_t, klo_t, acc, abit, Bb: int):
     P = len(cfg.primes)
 
     X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
-    # un-transpose the key back to [P, LJ*OM, N] slices
-    kh = jnp.transpose(khi_t).reshape(P, LJ * OM, cfg.N)
-    kl = jnp.transpose(klo_t).reshape(P, LJ * OM, cfg.N)
+    W = LJ * OM
     chats = jnp.stack(
-        [_prime_block(cfg, tabs[ip], ip, X8, kh[ip], kl[ip], Bb)
+        [_prime_block(cfg, tabs[ip], ip, X8,
+                      khi_t[:, ip * W:(ip + 1) * W],
+                      klo_t[:, ip * W:(ip + 1) * W], Bb)
          for ip in range(P)], axis=0)
     return _crt_accumulate(cfg, chats, acc)
 
@@ -602,10 +605,8 @@ def _make_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
 
         a = ahat_ref[pl.ds(step, 1), :]           # [1, Bb] int32
         abit = a.reshape(1, 1, 1, a.shape[-1])
-        # one bulk lane->sublane transpose of the step's key slice so every
-        # MAC is a sublane-broadcast multiply: [P*LJ*OM, N] -> [N, P*LJ*OM]
-        khi_t = jnp.transpose(khi_ref[0].astype(jnp.int32))
-        klo_t = jnp.transpose(klo_ref[0].astype(jnp.int32))
+        khi_t = khi_ref[0].astype(jnp.int32)   # [N, P*LJ*OM] pre-transposed
+        klo_t = klo_ref[0].astype(jnp.int32)
         acc_ref[...] = _step_math(cfg, tabs, khi_t, klo_t, acc_ref[...],
                                   abit, Bb)
 
@@ -715,13 +716,14 @@ def fused_blind_rotate_scan(cfg: FusedConfig, tables, khi, klo,
 
     tables_flat = tuple(tables)
 
+    W = LJ * OM
+
     def step(acc, xs):
-        a_row, kh, kl = xs                      # kh/kl [P*LJ*OM, N]
+        a_row, kh, kl = xs                      # kh/kl [N, P*LJ*OM]
         x8 = rot_call(a_row[None], acc)
-        khp = kh.reshape(P, LJ * OM, N)
-        klp = kl.reshape(P, LJ * OM, N)
         chats = jnp.stack(
-            [prime_calls[ip](x8, khp[ip], klp[ip], *tables_flat[ip])
+            [prime_calls[ip](x8, kh[:, ip * W:(ip + 1) * W],
+                             kl[:, ip * W:(ip + 1) * W], *tables_flat[ip])
              for ip in range(P)], axis=0)
         return crt_call(chats, acc), None
 
@@ -767,9 +769,9 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, z, z, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, z, z),
+        pl.BlockSpec((1, N, P * LJ * OM), lambda b, i: (i, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P * LJ * OM, N), lambda b, i: (i, z, z),
+        pl.BlockSpec((1, N, P * LJ * OM), lambda b, i: (i, z, z),
                      memory_space=pltpu.VMEM),
     ]
     tables_flat = [t for prime_tabs in tables for t in prime_tabs]
@@ -858,6 +860,10 @@ def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
     # update_with_fmadd) — rows (l, j) level-major, outputs (o, m); the
     # (P, LJ, OM) dims merge so the per-step slice is a clean 2D tile
     spec = spec.reshape(n, len(cfg.primes) * L * J * O * M, N)
+    # pre-transpose to [n, N, P*LJ*OM]: the MAC consumes key columns as
+    # [N, 1] sublane-broadcast vectors, and the lane->sublane transpose is
+    # ~10us per prime per step when done in-kernel
+    spec = jnp.swapaxes(spec, 1, 2)
     klo = ((spec + 128) & 255) - 128
     khi = ((spec - klo) >> 8).astype(jnp.int16)
     klo = klo.astype(jnp.int8)
