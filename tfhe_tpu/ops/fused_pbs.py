@@ -6,9 +6,10 @@ the accumulator lives in VMEM scratch across a grid over the n mask
 elements, and each grid step performs
 
   barrel-rotate (X^a_i, 2N-embedded) -> u64 subtract -> signed decompose
-  -> per-prime four-step forward NTT (int8 MXU matmuls)
+  -> per-prime four-step forward NTT (bf16 MXU matmuls, exact for int8
+     limb data with f32 accumulation)
   -> spectrum MAC against the streamed BSK slice (hi/lo mulmod, VPU)
-  -> per-prime inverse NTT (int8 MXU matmuls)
+  -> per-prime inverse NTT (bf16 MXU matmuls)
   -> streaming explicit-CRT accumulate into the u64 accumulator planes.
 
 Design notes (all arithmetic exact; the final accumulator is bit-identical
@@ -16,7 +17,8 @@ to the jnp path in ops/polymul_ntt.py):
 
 - Layouts are [rows, N-sublanes, batch-lanes]: a coefficient array is
   [N, B], reshaped [R, C*B] for stage A, so every NTT stage is one 2D
-  int8 x int8 -> int32 matmul.
+  bf16 x bf16 -> f32 matmul (exact: int8 limbs are exact in bf16 and
+  the f32 accumulator never exceeds 2^24 — asserted in make_config).
 - The digit limb split is shared across primes: stage-A tables carry
   limb_j(W * 2^(8i) mod p) so the operand-limb index i rides the matmul
   contraction dimension (K = R * ld) instead of multiplying matmul count.
@@ -116,6 +118,11 @@ def make_config(N: int, glwe_size: int, levels: int, base_log: int,
         nlx.append(n_)
     # MAC fold bound: per-lj balanced products summed then folded via f32
     assert LJ * (max(plist) // 2 + 1) < (1 << 23), "MAC sum exceeds f32 fold"
+    # bf16 matmul exactness: every _dot8 contraction (K in {R*ld, C*nlx,
+    # R*nlx}) sums K terms of |a*b| <= 128*128 in an f32 accumulator,
+    # which is exact only while the partial sums stay under 2^24
+    assert max(R * ld, C * max(nlx), R * max(nlx)) * 16384 <= 1 << 24, (
+        "bf16 MXU contraction would exceed exact f32 range")
     M = prod
     k64, k64s, k32, k32s = [], [], [], []
     for p in plist:
@@ -517,8 +524,10 @@ def _prime_block(cfg: FusedConfig, tab_ip, ip: int, X8, khi_p, klo_p,
     LJ, OM = L * G, G * M
     p = cfg.primes[ip]
     tabs = [tab_ip] * (ip + 1)  # _forward_prime indexes tabs[ip]
-    khi_t = jnp.transpose(khi_p.astype(jnp.int32))   # [N, LJ*OM]
-    klo_t = jnp.transpose(klo_p.astype(jnp.int32))
+    # khi_p/klo_p arrive pre-transposed [N, LJ*OM] from both callers
+    # (prepare_bsk_fused stores the key as [n, N, P*LJ*OM])
+    khi_t = khi_p.astype(jnp.int32)
+    klo_t = klo_p.astype(jnp.int32)
     spec = [
         _forward_prime(X8[lj], tabs, ip, cfg, Bb).reshape(N, Bb)
         for lj in range(LJ)
