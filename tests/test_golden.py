@@ -193,3 +193,104 @@ def test_production_aes_matches_pure_python():
             ctr = (start + i).to_bytes(16, "little")
             want = _aes128_encrypt_py(key_bytes, ctr)
             assert bytes(got[16 * i:16 * (i + 1)]) == want
+
+
+# ---------------------------------------------------------------------------
+# reference-transcribed KATs (tests/golden/reference_kats.json): constants
+# copied verbatim from the reference tree, citations inside the fixture
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_kats():
+    path = os.path.join(GOLDEN_DIR, "reference_kats.json")
+    return _load(path)
+
+
+def test_reference_aes_key_schedule(ref_kats):
+    """FIPS-197 key schedule KAT, transcribed from
+    concrete-csprng/src/generators/implem/aesni/block_cipher.rs:189-202."""
+    from tfhe_tpu.prng.aes import key_expansion
+
+    kat = ref_kats["aes128_fips197"]
+    rks = key_expansion(bytes.fromhex(kat["cipher_key"]))
+    for want, got in zip(kat["key_schedule"], rks):
+        assert bytes(got).hex() == want
+
+
+def test_reference_aes_block_encrypt(ref_kats):
+    """FIPS-197 single-block KAT, transcribed from
+    concrete-csprng/src/generators/implem/aesni/block_cipher.rs:203-205
+    (test_encrypt_many_messages checks the same pair 8 lanes wide)."""
+    from tfhe_tpu.prng.aes import encrypt_blocks_numpy, key_expansion
+
+    kat = ref_kats["aes128_fips197"]
+    rks = key_expansion(bytes.fromhex(kat["cipher_key"]))
+    blocks = np.frombuffer(
+        bytes.fromhex(kat["plaintext"]) * 8, dtype=np.uint8).reshape(8, 16)
+    out = encrypt_blocks_numpy(rks, blocks.copy())
+    for row in out:
+        assert bytes(row).hex() == kat["ciphertext"]
+
+
+def test_reference_aes_block_native(ref_kats):
+    """Same FIPS-197 block KAT through Aes128 (native C path when built):
+    counter value chosen so the CTR block equals the KAT plaintext."""
+    from tfhe_tpu.prng.aes import Aes128
+
+    kat = ref_kats["aes128_fips197"]
+    key = int.from_bytes(bytes.fromhex(kat["cipher_key"]), "little")
+    ctr = int.from_bytes(bytes.fromhex(kat["plaintext"]), "little")
+    got = Aes128(key).ctr_blocks(ctr, 1)
+    assert bytes(got).hex() == kat["ciphertext"]
+
+
+def test_reference_boolean_encoding(ref_kats):
+    """Boolean torus encoding constants (tfhe/src/boolean/mod.rs:74-80)."""
+    from tfhe_tpu.boolean import PLAINTEXT_FALSE, PLAINTEXT_TRUE
+
+    enc = ref_kats["boolean_encoding"]
+    assert int(PLAINTEXT_TRUE) == enc["plaintext_true_u32"]
+    assert int(PLAINTEXT_FALSE) == enc["plaintext_false_u32"]
+
+
+def test_reference_decomposition_properties():
+    """Transcription of commons/math/decomposition/tests.rs properties over
+    the same decomposer sweep (tests.rs:14-30 valid_decomposers):
+    recompose == closest_representable (tests.rs:60-65), digits within
+    +/- half-basis (tests.rs:44-59), epsilon-stability of rounding
+    (tests.rs:78-103), and idempotence (tests.rs:113-127)."""
+    from tfhe_tpu.ops.decomposition import (np_closest_representable,
+                                            recompose, signed_decompose)
+
+    rng = np.random.default_rng(1234)
+    for bits in (32, 64):
+        decomposers = [(bl, lc)
+                       for bl in range(1, bits)
+                       for lc in range(1, bits)
+                       if bl * lc < bits][:200]
+        for base_log, levels in decomposers:
+            x = rng.integers(0, 1 << bits, 8, dtype=np.uint64)
+            if bits == 32:
+                x = x.astype(np.uint32)
+            digits = signed_decompose(x, base_log, levels, bits=bits)
+            digits = np.asarray(digits)
+            half = 1 << (base_log - 1)
+            assert np.all(digits >= -half) and np.all(digits <= half)
+            closest = np_closest_representable(x, base_log, levels, bits=bits)
+            rec = np.asarray(recompose(digits, base_log, levels, bits=bits))
+            assert np.array_equal(rec, closest)
+            # epsilon-stability: +/- half-gap does not change the rounding
+            eps_shift = bits - base_log * levels - 1
+            eps = (np.uint64(1) << np.uint64(eps_shift)) // np.uint64(2)
+            eps = closest.dtype.type(eps)
+            assert np.array_equal(
+                np_closest_representable(closest + eps, base_log, levels,
+                                         bits=bits), closest)
+            assert np.array_equal(
+                np_closest_representable(closest - eps, base_log, levels,
+                                         bits=bits), closest)
+            # idempotence
+            assert np.array_equal(
+                np_closest_representable(closest, base_log, levels,
+                                         bits=bits), closest)
