@@ -120,3 +120,24 @@ def test_replace(keys):
     out = sks.replace(cks.encrypt_str_padding("a.b", 1), ".",
                       cks.encrypt_str("zz"))
     assert cks.decrypt_string(out) == "azzb"
+
+
+def test_splitn_empty_pattern_encrypted_count(keys):
+    """Encrypted split count with a clear empty pattern
+    (ref splitn semantics over split.rs:245-347 empty-pattern parts)."""
+    cks, sks = keys
+    ik = cks.integer_key
+    s = cks.encrypt_str("ab")
+    sp = cks.encrypt_str_random_padding("ab", 1)
+    for k, want in [(0, []), (1, ["ab"]), (2, ["", "ab"]),
+                    (3, ["", "a", "b"]), (4, ["", "a", "b", ""]),
+                    (5, ["", "a", "b", ""])]:
+        ek = ik.encrypt(k)
+        assert dec(cks, sks.splitn(s, ek, "")) == want
+        assert dec(cks, sks.splitn(sp, ek, "")) == want
+    for k, want in [(0, []), (1, ["ab"]), (2, ["", "ab"]),
+                    (3, ["", "b", "a"]), (4, ["", "b", "a", ""]),
+                    (5, ["", "b", "a", ""])]:
+        assert dec(cks, sks.rsplitn(s, ik.encrypt(k), "")) == want
+    assert dec(cks, sks.splitn(cks.encrypt_str(""), ik.encrypt(3), "")) \
+        == ["", ""]

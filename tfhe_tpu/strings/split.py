@@ -408,8 +408,7 @@ class SplitOps:
         n = s.max_len
         len_r = self._length_radix(s)
         if limit is not None and not isinstance(limit, int):
-            raise NotImplementedError(
-                "encrypted split count with an empty clear pattern")
+            return self._split_empty_pattern_enc_limit(s, limit, reverse)
         if inclusive or terminator:
             # parts = the chars themselves ("ab" -> ["a","b"])
             parts = [FheString([FheAsciiChar(c.ct.copy())],
@@ -444,6 +443,122 @@ class SplitOps:
         k_r = ik.create_trivial_radix(k, self.nb)
         over = ik.scalar_cmp_parallelized(np_full, k, "gt")
         number_parts = ik.if_then_else_parallelized(over, k_r, np_full)
+        return FheSplit(parts, number_parts)
+
+    def _split_empty_pattern_enc_limit(self, s: FheString,
+                                       k: RadixCiphertext, reverse: bool
+                                       ) -> FheSplit:
+        """splitn/rsplitn with an ENCRYPTED count and a clear empty pattern.
+
+        Rust semantics (ref split.rs:245-347, rsplitn.rs): split("") yields
+        len+2 parts ["", c_0, .., c_{len-1}, ""], and splitn(k, "") keeps
+        the first k-1 of those then the remainder.  With k encrypted the
+        parts list is the static maximum (n+2 entries); entries beyond
+        number_parts = (k==0 ? 0 : min(len+2, k)) are garbage per the
+        FheSplit contract.  Part j in 1..n is the single char when
+        j < k-1 and the remainder (suffix for split, prefix for rsplit)
+        when j == k-1 — encoded as the static char slice with every
+        position past the first masked by the is-remainder bit."""
+        ik = self.integer_key
+        sks = self.sks
+        n = s.max_len
+        nb = self.nb
+        len_r = self._length_radix(s)
+        zero = ik.create_trivial_radix(0, self.nb)
+
+        # number_parts = min(len + 2, k); the k == 0 case falls out (min=0)
+        full = ik.scalar_add_parallelized(len_r, 2)
+        k_lt = ik.lt_parallelized(k, full)
+        number_parts = ik.if_then_else_parallelized(k_lt, k, full)
+
+        keep_lut = sks.generate_lookup_table_bivariate(
+            lambda cc, x: x if cc else 0)
+
+        # part 0: the whole string when k == 1, else ""
+        k1 = ik.scalar_eq_parallelized(k, 1)
+        if n:
+            stack = self._content_stack(s)
+            bit0 = self._take(k1.block, np.zeros(n * nb, dtype=np.int64))
+            p0 = sks.unchecked_bivariate_batch(bit0, stack, keep_lut)
+            part0_content = [FheAsciiChar(c) for c in self._unstack(p0, n)]
+        else:
+            part0_content = []
+        len0 = ik.if_then_else_parallelized(k1, len_r, zero)
+        parts = [FheString(content=part0_content, padding=Padding.ANYWHERE,
+                           length=len0)]
+
+        if n:
+            # is_rest[j-1] = (k == j + 1) for parts j = 1..n, one batch
+            a = self._trivial_radix_stack(range(2, n + 2), nb)
+            b = self._take(k.blocks, np.tile(np.arange(nb), n))
+            is_rest = self._char_eq(a, b, n)
+
+            if reverse:
+                # part j char slot t holds s[t], kept iff
+                #   is_rest: t + (j-1) < len  (prefix remainder)
+                #   else:    t + j == len     (the single rsplit char)
+                # cond = eq OR (is_rest AND lt), three bivariate batches
+                pairs = [(j, t) for j in range(1, n + 1)
+                         for t in range(n - j + 1)]
+                P = len(pairs)
+                bl = self._take(len_r.blocks, np.tile(np.arange(nb), P))
+                eq = self._char_eq(
+                    self._trivial_radix_stack([t + j for j, t in pairs], nb),
+                    bl, P)
+                lt = self._stack_cmp(
+                    self._trivial_radix_stack(
+                        [t + j - 1 for j, t in pairs], nb), bl, P, "lt")
+                rest_rep = self._take(
+                    is_rest, np.asarray([j - 1 for j, _ in pairs]))
+                both = sks.unchecked_bivariate_batch(
+                    rest_rep, lt, self._and_blut())
+                cond = sks.unchecked_bivariate_batch(eq, both,
+                                                     self._or_blut())
+                chars = self._take(stack, np.asarray(
+                    [t * nb + d for _, t in pairs for d in range(nb)]))
+                body = sks.unchecked_bivariate_batch(
+                    self._take(cond, np.repeat(np.arange(P), nb)),
+                    chars, keep_lut)
+            else:
+                # part j = static suffix s[j-1:]; slot t >= 1 is masked by
+                # is_rest (single-char parts keep only the leading char)
+                pairs = [(j, t) for j in range(1, n + 1)
+                         for t in range(1, n - j + 1)]
+                if pairs:
+                    blk = np.asarray([(j - 1 + t) * nb + d
+                                      for j, t in pairs for d in range(nb)])
+                    cond = self._take(
+                        is_rest, np.repeat([j - 1 for j, _ in pairs], nb))
+                    tails = sks.unchecked_bivariate_batch(
+                        cond, self._take(stack, blk), keep_lut)
+
+            pos = 0
+            for j in range(1, n + 1):
+                is_rest_j = BooleanBlock(self._take(is_rest, [j - 1]))
+                # length: remainder size when is_rest, else the 0/1 char bit
+                under = ik.scalar_cmp_parallelized(len_r, j - 1, "le")
+                rem = ik.if_then_else_parallelized(
+                    under, zero, ik.scalar_sub_parallelized(len_r, j - 1))
+                lj = ik.if_then_else_parallelized(
+                    is_rest_j, rem, self._char_len_bit(s, j - 1))
+                m = len([1 for jj, _ in pairs if jj == j])
+                if reverse:
+                    content = [FheAsciiChar(c) for c in self._unstack(
+                        self._take(body,
+                                   np.arange(pos * nb, (pos + m) * nb)), m)]
+                else:
+                    head = RadixCiphertext(self._take(
+                        stack, np.arange((j - 1) * nb, j * nb)))
+                    tail_cts = (self._unstack(
+                        self._take(tails,
+                                   np.arange(pos * nb, (pos + m) * nb)), m)
+                        if m else [])
+                    content = [FheAsciiChar(head)] + [
+                        FheAsciiChar(c) for c in tail_cts]
+                pos += m
+                parts.append(FheString(content=content,
+                                       padding=Padding.ANYWHERE, length=lj))
+        parts.append(self._empty_fhe_string())
         return FheSplit(parts, number_parts)
 
     def _char_len_bit(self, s: FheString, j: int) -> RadixCiphertext:
