@@ -75,3 +75,79 @@ def test_sharded_radix_add(keys):
         dec = cks.decrypt_batch(out[i])
         got = sum(int(b) * msg**j for j, b in enumerate(dec)) % 256
         assert got == (int(x) + int(y)) % 256, (x, y, got)
+
+
+def test_sharded_radix_mul(keys):
+    """Fused radix mul on the mesh: decrypts to clear product AND is
+    bit-identical to the same program run unsharded (exact NTT backend)."""
+    cks, sks = keys
+    mesh = parallel.create_mesh()
+    nb = 4
+    msg = P.message_modulus
+    mul_fn, place = parallel.make_sharded_radix_mul(mesh, sks, num_blocks=nb)
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 256, 8).astype(np.uint64)
+    ys = rng.integers(0, 256, 8).astype(np.uint64)
+
+    def to_blocks(vals):
+        return np.stack([
+            cks.encrypt_batch([(int(v) // msg**j) % msg for j in range(nb)]
+                              ).data
+            for v in vals
+        ])
+
+    a, b = to_blocks(xs), to_blocks(ys)
+    out = np.asarray(mul_fn(place(a), place(b)))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        dec = cks.decrypt_batch(out[i])
+        got = sum(int(v) * msg**j for j, v in enumerate(dec)) % 256
+        assert got == (int(x) * int(y)) % 256, (x, y, got)
+
+    # unsharded run of the identical program
+    import functools
+    import jax.numpy as jnp
+    from tfhe_tpu.parallel.fused import fused_radix_mul
+    accs = (
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: (x * y) % msg).acc.acc,
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: (x * y) // msg).acc.acc,
+        sks.generate_lookup_table(lambda x: x % msg).acc,
+        sks.generate_lookup_table(lambda x: x // msg).acc,
+        sks.generate_lookup_table(
+            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)).acc,
+        sks.generate_lookup_table_bivariate(
+            lambda cur, prev: min(prev if cur == 1 else cur, 2)).acc.acc,
+        sks.generate_lookup_table(lambda x: 1 if x == 2 else 0).acc,
+    )
+    plain = np.asarray(jax.jit(functools.partial(
+        fused_radix_mul, message_modulus=msg,
+        carry_modulus=P.carry_modulus))(
+            sks.ksk, sks.bsk, *accs, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(np.asarray(out), plain)
+
+
+def test_sharded_strings_contains(keys):
+    """Fused strings contains on the mesh vs Python `in` over a batch."""
+    cks, sks = keys
+    from tfhe_tpu.strings.client_key import NUMBER_BLOCKS
+    mesh = parallel.create_mesh()
+    msg = P.message_modulus
+    nb = NUMBER_BLOCKS
+    texts = ["hello", "help!", "ohhel", "lohel", "hhhhh", "xxxxx",
+             "hel", "zhelz"]
+    n = max(len(t) for t in texts)
+    fn, place = parallel.make_sharded_strings_contains(mesh, sks, "hel")
+
+    def enc_text(t):
+        chars = [ord(c) for c in t] + [0] * (n - len(t))
+        digs = [(c // msg**d) % msg for c in chars for d in range(nb)]
+        return cks.encrypt_batch(np.asarray(digs, np.uint64)).data.reshape(
+            n, nb, -1)
+
+    batch = np.stack([enc_text(t) for t in texts])
+    out = np.asarray(fn(place(batch)))
+    got = [bool(cks.decrypt_batch(out[i:i + 1][0][None])[0])
+           for i in range(len(texts))]
+    want = [("hel" in t) for t in texts]
+    assert got == want, (got, want)

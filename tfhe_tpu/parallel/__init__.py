@@ -19,7 +19,9 @@ from .sharding import (
     shard_batch,
     shard_server_key,
 )
-from .fused import fused_ks_pbs, fused_radix_add, make_sharded_radix_add
+from .fused import (fused_ks_pbs, fused_radix_add, fused_radix_mul,
+                    fused_strings_contains, make_sharded_radix_add,
+                    make_sharded_radix_mul, make_sharded_strings_contains)
 from .checkpoint import (
     CheckpointManager,
     DeviceFailure,
@@ -38,6 +40,10 @@ __all__ = [
     "fused_ks_pbs",
     "fused_radix_add",
     "make_sharded_radix_add",
+    "make_sharded_radix_mul",
+    "make_sharded_strings_contains",
+    "fused_radix_mul",
+    "fused_strings_contains",
     "CheckpointManager",
     "DeviceFailure",
     "ResumableBatchRunner",

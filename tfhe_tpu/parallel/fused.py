@@ -76,6 +76,254 @@ def fused_radix_add(
     return fused_ks_pbs(ksk, bsk, msgext_acc, s + carry_in)
 
 
+def _propagate_single_carry(ksk, bsk, state_acc, resolve_acc, carry_acc,
+                            msgext_acc, s, msg_u):
+    """Hillis-Steele single-carry propagation on [B, nb, sz] blocks."""
+    nb = s.shape[1]
+    state = fused_ks_pbs(ksk, bsk, state_acc, s)
+    d = 1
+    while d < nb:
+        prev = _shift_blocks_up(state, d)
+        state = fused_ks_pbs(ksk, bsk, resolve_acc, state * msg_u + prev)
+        d *= 2
+    carries = fused_ks_pbs(ksk, bsk, carry_acc, state)
+    carry_in = _shift_blocks_up(carries, 1)
+    return fused_ks_pbs(ksk, bsk, msgext_acc, s + carry_in)
+
+
+def fused_radix_mul(
+    ksk: PreparedKsk,
+    bsk: PreparedBsk,
+    lsb_acc,
+    msb_acc,
+    msgext_acc,
+    carryext_acc,
+    state_acc,
+    resolve_acc,
+    carry_acc,
+    a,
+    b,
+    *,
+    message_modulus: int,
+    carry_modulus: int,
+):
+    """Radix multiplication as one jittable computation (msg >= 4 params).
+
+    a, b: [B, nb, lwe_size] uint64 CLEAN radix blocks (degree < msg).
+    Mirrors IntegerServerKey.mul_parallelized (ref: radix_parallel/
+    mul.rs:329-464 block products + add.rs:789 carry-save tree): bivariate
+    lsb/msb block products in two PBS batches, a statically-scheduled
+    carry-save column reduction (the degree bookkeeping that drives the
+    host schedule is deterministic for clean inputs), then one
+    single-carry propagation.
+    """
+    msg = message_modulus
+    msg_u = jnp.asarray(msg, a.dtype)
+    B, nb, sz = a.shape
+
+    pairs_lsb = [(i, j) for j in range(nb) for i in range(nb - j)]
+    pairs_msb = [(i, j) for j in range(nb) for i in range(nb - j)
+                 if i + j + 1 < nb]
+
+    def products(pairs, acc):
+        ai = [i for i, _ in pairs]
+        bj = [j for _, j in pairs]
+        packed = a[:, ai] * msg_u + b[:, bj]  # bivariate_pbs.rs:167 packing
+        return fused_ks_pbs(ksk, bsk, acc, packed)  # [B, len(pairs), sz]
+
+    prod_lsb = products(pairs_lsb, lsb_acc)
+    columns = [[] for _ in range(nb)]
+    for t, (i, j) in enumerate(pairs_lsb):
+        columns[i + j].append(prod_lsb[:, t])
+    if pairs_msb:
+        prod_msb = products(pairs_msb, msb_acc)
+        for t, (i, j) in enumerate(pairs_msb):
+            columns[i + j + 1].append(prod_msb[:, t])
+
+    # carry-save reduction with the host schedule made static: every block
+    # entering a column has degree < msg, so chunk sizing is deterministic
+    max_degree = msg * carry_modulus - 1
+    chunk = max(max_degree // (msg - 1), 2)
+    while max(len(c) for c in columns) > 2:
+        new_columns = [[] for _ in range(nb)]
+        to_extract = []
+        for p, col in enumerate(columns):
+            for lo in range(0, len(col), chunk):
+                part = col[lo:lo + chunk]
+                if len(part) == 1:
+                    new_columns[p].append(part[0])
+                    continue
+                acc_s = part[0]
+                for other in part[1:]:
+                    acc_s = acc_s + other
+                to_extract.append((p, acc_s))
+        if to_extract:
+            stacked = jnp.stack([t[1] for t in to_extract], axis=1)
+            msgs = fused_ks_pbs(ksk, bsk, msgext_acc, stacked)
+            carries = fused_ks_pbs(ksk, bsk, carryext_acc, stacked)
+            for t, (p, _) in enumerate(to_extract):
+                new_columns[p].append(msgs[:, t])
+                if p + 1 < nb:
+                    new_columns[p + 1].append(carries[:, t])
+        columns = new_columns
+
+    zero = jnp.zeros((B, sz), a.dtype)
+    top = jnp.stack([c[0] if c else zero for c in columns], axis=1)
+    bot = jnp.stack([c[1] if len(c) > 1 else zero for c in columns], axis=1)
+    return _propagate_single_carry(ksk, bsk, state_acc, resolve_acc,
+                                   carry_acc, msgext_acc, top + bot, msg_u)
+
+
+def fused_strings_contains(
+    ksk: PreparedKsk,
+    bsk: PreparedBsk,
+    sign_acc,
+    resolve_acc,
+    eq0_acc,
+    and_acc,
+    or_acc,
+    s,
+    *,
+    pat_digits: Tuple[Tuple[int, ...], ...],
+    message_modulus: int,
+    delta: int,
+):
+    """contains(s, clear_pattern) for a batch of strings, one computation.
+
+    s: [B, n, nb, sz] uint64 clean char blocks, FINAL padding (chars past
+    the string length are encryptions of 0).  pat_digits[j] holds the nb
+    radix digits of pattern char j (static).  Mirrors the host path
+    (ref: pattern.rs:106-115 is_contained_in OR-fold; contains.rs:18-41):
+    per-(offset, char) 3-state sign blocks, block tree-reduce, ==0 LUT,
+    AND-fold over pattern chars, OR-fold over offsets.
+    Returns [B, sz] boolean (0/1) LWE blocks.
+    """
+    msg_u = jnp.asarray(message_modulus, s.dtype)
+    B, n, nb, sz = s.shape
+    plen = len(pat_digits)
+
+    def tree(x, acc):
+        """Reduce axis -2 pairing (2i, 2i+1) with the higher index as the
+        bivariate lhs (matches StringServerKey._tree_reduce)."""
+        while x.shape[-2] > 1:
+            m = x.shape[-2]
+            lo = x[..., 0:m - 1:2, :]
+            hi = x[..., 1:m:2, :]
+            merged = fused_ks_pbs(ksk, bsk, acc, hi * msg_u + lo)
+            if m % 2 == 1:
+                merged = jnp.concatenate([merged, x[..., m - 1:m, :]],
+                                         axis=-2)
+            x = merged
+        return x[..., 0, :]
+
+    if plen > 1:
+        pad = jnp.zeros((B, plen - 1, nb, sz), s.dtype)
+        sx = jnp.concatenate([s, pad], axis=1)
+    else:
+        sx = s
+    gather = sx[:, jnp.arange(n)[:, None] + jnp.arange(plen)[None, :]]
+    # bivariate packing against the trivial pattern block: lhs*msg then the
+    # clear digit rides the body coefficient (trivial LWE add)
+    packed = gather * msg_u                       # [B, n, plen, nb, sz]
+    digit_body = (jnp.asarray(pat_digits, s.dtype)
+                  * jnp.asarray(delta, s.dtype))  # [plen, nb]
+    packed = packed.at[..., -1].add(digit_body[None, None])
+    signs = fused_ks_pbs(ksk, bsk, sign_acc, packed)
+    sign = tree(signs, resolve_acc)               # [B, n, plen, sz]
+    eqs = fused_ks_pbs(ksk, bsk, eq0_acc, sign)
+    match = tree(eqs, and_acc)                    # [B, n, sz]
+    return tree(match, or_acc)                    # [B, sz]
+
+
+def make_sharded_radix_mul(mesh, sks, num_blocks: int):
+    """Bind a ShortintServerKey + mesh into a jitted sharded radix-mul step
+    (same contract as make_sharded_radix_add)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharding import batch_spec, key_shardings, shard_server_key
+
+    msg = sks.message_modulus
+    accs = (
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: (x * y) % msg).acc.acc,
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: (x * y) // msg).acc.acc,
+        sks.generate_lookup_table(lambda x: x % msg).acc,
+        sks.generate_lookup_table(lambda x: x // msg).acc,
+        sks.generate_lookup_table(
+            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)).acc,
+        sks.generate_lookup_table_bivariate(
+            lambda cur, prev: min(prev if cur == 1 else cur, 2)).acc.acc,
+        sks.generate_lookup_table(lambda x: 1 if x == 2 else 0).acc,
+    )
+
+    bsk, ksk = shard_server_key(mesh, sks.bsk, sks.ksk)
+    ct_sh = NamedSharding(mesh, batch_spec(3))
+    bsk_sh, ksk_sh = key_shardings(mesh, sks.bsk, sks.ksk)
+    acc_sh = NamedSharding(mesh, P())
+
+    fn = jax.jit(
+        functools.partial(fused_radix_mul, message_modulus=msg,
+                          carry_modulus=sks.carry_modulus),
+        in_shardings=(ksk_sh, bsk_sh) + (acc_sh,) * 7 + (ct_sh, ct_sh),
+        out_shardings=ct_sh,
+    )
+
+    def step(a, b):
+        return fn(ksk, bsk, *accs, a, b)
+
+    def place(x):
+        return jax.device_put(jnp.asarray(x), ct_sh)
+
+    return step, place
+
+
+def make_sharded_strings_contains(mesh, sks, pattern: str):
+    """Bind a ShortintServerKey + mesh + clear pattern into a jitted
+    sharded contains step over [B, n, nb, sz] char batches."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..strings.client_key import NUMBER_BLOCKS
+    from .sharding import batch_spec, key_shardings, shard_server_key
+
+    msg = sks.message_modulus
+    nb = NUMBER_BLOCKS
+    pat_digits = tuple(
+        tuple((ord(c) // msg**d) % msg for d in range(nb)) for c in pattern)
+    accs = (
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: 0 if x == y else (1 if x < y else 2)).acc.acc,
+        sks.generate_lookup_table_bivariate(
+            lambda high, low: min(low if high == 0 else high, 2)).acc.acc,
+        sks.generate_lookup_table(lambda v: int(v == 0)).acc,
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: int(bool(x) and bool(y))).acc.acc,
+        sks.generate_lookup_table_bivariate(
+            lambda x, y: int(bool(x) or bool(y))).acc.acc,
+    )
+
+    bsk, ksk = shard_server_key(mesh, sks.bsk, sks.ksk)
+    ct_sh = NamedSharding(mesh, batch_spec(4))
+    out_sh = NamedSharding(mesh, batch_spec(2))
+    bsk_sh, ksk_sh = key_shardings(mesh, sks.bsk, sks.ksk)
+    acc_sh = NamedSharding(mesh, P())
+
+    fn = jax.jit(
+        functools.partial(fused_strings_contains, pat_digits=pat_digits,
+                          message_modulus=msg, delta=sks.delta),
+        in_shardings=(ksk_sh, bsk_sh) + (acc_sh,) * 5 + (ct_sh,),
+        out_shardings=out_sh,
+    )
+
+    def step(chars):
+        return fn(ksk, bsk, *accs, chars)
+
+    def place(x):
+        return jax.device_put(jnp.asarray(x), ct_sh)
+
+    return step, place
+
+
 def make_sharded_radix_add(mesh, sks, num_blocks: int):
     """Bind a ShortintServerKey + mesh into a jitted sharded radix-add step.
 
