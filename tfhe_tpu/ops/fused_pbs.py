@@ -422,6 +422,118 @@ def _decompose_planes(dlo, dhi, cfg: FusedConfig):
 
 
 # ---------------------------------------------------------------------------
+# traced-modulus helpers (per-prime constants are loop-carried scalars in
+# the one-kernel-per-step path, so the modulus arrives as a traced value)
+# ---------------------------------------------------------------------------
+
+
+def _fold_t(x, p, inv):
+    q = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
+    return x - q * p
+
+
+def _shoup_t(a, b, bs, p):
+    q = jax.lax.shift_right_arithmetic(a * bs, np.int32(16))
+    r = a * b - q * p
+    half = p >> 1
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r > half, r - p, r)
+    r = jnp.where(r < -half, r + p, r)
+    return jnp.where(r < -half, r + p, r)
+
+
+def _horner_t(Y, nl: int, K: int, p, inv):
+    Yv = Y.reshape(nl, K, Y.shape[-1])
+    h = _fold_t(Yv[nl - 1], p, inv)
+    for j in range(nl - 2, -1, -1):
+        h = _fold_t(h * 256 + Yv[j], p, inv)
+    return h
+
+
+def _mulacc_c16_k64_t(lo, hi, c, k0, k1, k2, k3):
+    """Traced-constant variant of _mulacc_c16_k64 (no static zero-skip)."""
+    lo, hi = _u64_add_signed(lo, hi, c * k0)
+    P1 = c * k1
+    t = (P1 & 0xFFFF) << 16
+    lo2 = lo + t
+    hi = hi + _ult(lo2, lo).astype(jnp.int32) + (P1 >> 16)
+    lo = lo2
+    hi = hi + c * k2 + ((c * k3) << 16)
+    return lo, hi
+
+
+def _mulacc_c_k64_t(lo, hi, c, kch, ksch):
+    """Traced variant of _mulacc_c_k64: kch/ksch are length-4 chunk lists."""
+    c0, c1 = _split_c16(c)
+    lo, hi = _mulacc_c16_k64_t(lo, hi, c0, *kch)
+    return _mulacc_c16_k64_t(lo, hi, c1, *ksch)
+
+
+def _low32_mul_t(c, k0, k1):
+    c0, c1 = _split_c16(c)
+    return c0 * k0 + ((c0 * k1) << 16) + ((c1 * k0) << 16)
+
+
+# ---------------------------------------------------------------------------
+# prime groups + stacked tables for the one-kernel-per-step path
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def prime_groups(cfg: FusedConfig) -> Tuple[Tuple[int, int, Tuple[int, ...]], ...]:
+    """Consecutive primes sharing (nl, nlx) -> [(nl, nlx, indices), ...].
+
+    The kernel runs one lax.fori_loop per group so limb-plane counts stay
+    static (padding every prime to 3 limbs would cost ~1.5x on the small
+    primes' matmuls — measured as the dominant per-step term)."""
+    groups = []
+    for i in range(len(cfg.primes)):
+        key = (cfg.nl[i], cfg.nlx[i])
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(i)
+        else:
+            groups.append([key, [i]])
+    return tuple((nl, nlx, tuple(idx)) for (nl, nlx), idx in groups)
+
+
+@functools.lru_cache(maxsize=None)
+def _host_tables_stacked(cfg: FusedConfig):
+    """Per-group stacked tables + packed int constants (numpy).
+
+    Returns (tabs, consts): tabs[g] = dict of [Pg, ...] arrays; consts[g] =
+    [Pg, 11] int32 rows [p, k64(4), k64s(4), k32(2)].
+    """
+    per_prime = _host_tables_fused(cfg)
+    tabs, consts = [], []
+    for nl, nlx, idx in prime_groups(cfg):
+        tabs.append({
+            k: np.stack([per_prime[i][k] for i in idx])
+            for k in _TABLE_KEYS
+        })
+        rows = []
+        for i in idx:
+            rows.append([cfg.primes[i], *cfg.k64[i], *cfg.k64s[i],
+                         *cfg.k32[i]])
+        consts.append(np.asarray(rows, dtype=np.int32))
+    return tuple(tabs), tuple(consts)
+
+
+@functools.lru_cache(maxsize=None)
+def build_tables_stacked(cfg: FusedConfig):
+    """Device arrays for the grid kernel: per-group stacked tables (DFT limb
+    planes as bf16) + SMEM constant rows."""
+    tabs_np, consts_np = _host_tables_stacked(cfg)
+    tabs = tuple(
+        tuple(
+            jnp.asarray(t[k], jnp.bfloat16) if k in _BF16_KEYS
+            else jnp.asarray(t[k])
+            for k in _TABLE_KEYS)
+        for t in tabs_np)
+    consts = tuple(jnp.asarray(c) for c in consts_np)
+    return tabs, consts
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -598,20 +710,254 @@ def _step_math(cfg: FusedConfig, tabs, khi_t, klo_t, acc, abit, Bb: int):
 
     acc:  [G, M, N, Bb] int32 planes
     abit: [1, 1, 1, Bb] int32 rotation amounts in [0, 2N)
-    khi_t/klo_t: [N, P*LJ*OM] int32 transposed key slice for this step
+    khi_t/klo_t: [P, N, LJ*OM] int32 transposed key slice for this step
     """
-    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
-    LJ, OM = L * G, G * M
     P = len(cfg.primes)
 
     X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
-    W = LJ * OM
     chats = jnp.stack(
-        [_prime_block(cfg, tabs[ip], ip, X8,
-                      khi_t[:, ip * W:(ip + 1) * W],
-                      klo_t[:, ip * W:(ip + 1) * W], Bb)
+        [_prime_block(cfg, tabs[ip], ip, X8, khi_t[ip], klo_t[ip], Bb)
          for ip in range(P)], axis=0)
     return _crt_accumulate(cfg, chats, acc)
+
+
+def _forward_prime_t(X8_lj, W1A8, W2B8, TC, TCsh, nl: int, nlx: int,
+                     p, inv, cfg: FusedConfig, Bb: int):
+    """Traced-table forward NTT: X8_lj [(R*ld), C*B] -> spectrum [N, B]."""
+    K1, K2, C = cfg.R, cfg.C, cfg.C
+    YA = _dot8(W1A8, X8_lj)
+    y = _horner_t(YA, nl, K1, p, inv)
+    y3 = y.reshape(K1, C, Bb)
+    y3 = _shoup_t(y3, TC[:, :, None], TCsh[:, :, None], p)
+    yt = jnp.transpose(y3, (1, 0, 2)).reshape(C, K1 * Bb)
+    Y8 = _limb_rows(yt, nlx)
+    S = _dot8(W2B8, Y8)
+    return _horner_t(S, nl, K2, p, inv).reshape(cfg.N, Bb)
+
+
+def _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh, nl: int, nlx: int,
+                     p, inv, cfg: FusedConfig, Bb: int):
+    """Traced-table inverse NTT: MAC output [C, R*B] -> chat [N, B]."""
+    K1, K2, C, R = cfg.R, cfg.C, cfg.C, cfg.R
+    S8 = _limb_rows(macc, nlx)
+    U = _dot8(W2I8, S8)
+    u = _horner_t(U, nl, C, p, inv)
+    u3 = u.reshape(C, K1, Bb)
+    u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
+    ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * Bb)
+    U8 = _limb_rows(ut, nlx)
+    V = _dot8(W1I8, U8)
+    return _horner_t(V, nl, R, p, inv).reshape(cfg.N, Bb)
+
+
+def _ds0(ref, i):
+    """ref[i] with a traced leading index (dynamic slice + squeeze)."""
+    return ref[pl.ds(i, 1)][0]
+
+
+def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
+                         kl_at, acc, abit, Bb: int):
+    """One blind-rotation step with lax.fori_loop over primes (per group).
+
+    Same math as _step_math, but per-prime tables/constants are read with a
+    dynamic index inside the loop so the kernel body holds ONE prime body
+    per (nl, nlx) group instead of all P unrolled — the unrolled body
+    OOM-kills the Mosaic compile helper (PERF_NOTES.md).
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+
+    X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
+
+    lo_s = jnp.stack([acc[o, 0] for o in range(G)])        # [G, N, Bb]
+    hi_s = (jnp.stack([acc[o, 1] for o in range(G)])
+            if cfg.bits == 64 else None)
+    af = jnp.zeros((OM, N, Bb), jnp.float32)
+
+    offset = 0
+    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
+        (W1A8r, W2B8r, W2I8r, W1I8r,
+         TCr, TCshr, TICr, TICshr) = tab_refs[g]
+        cr = consts_refs[g]
+
+        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
+                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
+                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
+            lo_s, hi_s, af = carry
+            p = cr[gip, 0]
+            inv = np.float32(1.0) / p.astype(jnp.float32)
+            W1A8 = _ds0(W1A8r, gip)
+            W2B8 = _ds0(W2B8r, gip)
+            W2I8 = _ds0(W2I8r, gip)
+            W1I8 = _ds0(W1I8r, gip)
+            TC = _ds0(TCr, gip)
+            TCsh = _ds0(TCshr, gip)
+            TIC = _ds0(TICr, gip)
+            TICsh = _ds0(TICshr, gip)
+            kh = kh_at(offset + gip)               # [N, LJ*OM] int32
+            kl = kl_at(offset + gip)
+
+            spec = [
+                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                 p, inv, cfg, Bb)
+                for lj in range(LJ)
+            ]
+            for o in range(G):
+                for m in range(M):
+                    om = o * M + m
+                    sacc = jnp.zeros((N, Bb), jnp.int32)
+                    for lj in range(LJ):
+                        col = lj * OM + om
+                        t1 = _fold_t(spec[lj] * kh[:, col:col + 1], p, inv)
+                        sacc = sacc + _fold_t(
+                            t1 * 256 + spec[lj] * kl[:, col:col + 1], p, inv)
+                    macc = _fold_t(sacc, p, inv).reshape(C, R * Bb)
+                    chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
+                                            nl, nlx, p, inv, cfg, Bb)
+                    af = af.at[om].add(chat.astype(jnp.float32) * inv)
+                    if cfg.bits == 64:
+                        if m == 0:
+                            lo_o, hi_o = _mulacc_c_k64_t(
+                                lo_s[o], hi_s[o], chat,
+                                [cr[gip, 1 + t] for t in range(4)],
+                                [cr[gip, 5 + t] for t in range(4)])
+                            lo_s = lo_s.at[o].set(lo_o)
+                            hi_s = hi_s.at[o].set(hi_o)
+                        else:
+                            hi_s = hi_s.at[o].add(
+                                _low32_mul_t(chat, cr[gip, 9], cr[gip, 10]))
+                    else:
+                        lo_s = lo_s.at[o].add(
+                            _low32_mul_t(chat, cr[gip, 9], cr[gip, 10]))
+            if hi_s is None:
+                return lo_s, af
+            return lo_s, hi_s, af
+
+        if cfg.bits == 64:
+            lo_s, hi_s, af = jax.lax.fori_loop(
+                0, len(idx), body, (lo_s, hi_s, af))
+        else:
+            def body32(gip, carry):
+                lo_c, af_c = carry
+                return body(gip, (lo_c, None, af_c))
+
+            lo_s, af = jax.lax.fori_loop(0, len(idx), body32, (lo_s, af))
+        offset += len(idx)
+
+    # alpha recovery + final -alpha*M with STATIC chunk constants
+    lo_fin, hi_fin = [], []
+    for o in range(G):
+        lo_o = lo_s[o]
+        hi_o = hi_s[o] if cfg.bits == 64 else None
+        for m in range(M):
+            om = o * M + m
+            a0 = -jnp.round(af[om]).astype(jnp.int32)
+            if cfg.bits == 64:
+                if m == 0:
+                    lo_o, hi_o = _mulacc_c16_k64(lo_o, hi_o, a0, cfg.km64)
+                else:
+                    hi_o = hi_o + _low32_mul(a0, cfg.km32)
+            else:
+                lo_o = lo_o + _low32_mul(a0, cfg.km32)
+        lo_fin.append(lo_o)
+        hi_fin.append(hi_o)
+    if cfg.bits == 64:
+        return jnp.stack(
+            [jnp.stack([lo_fin[o], hi_fin[o]], axis=0) for o in range(G)],
+            axis=0)
+    return jnp.stack([lo_fin[o][None] for o in range(G)], axis=0)
+
+
+def _make_grid_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
+    nG = len(prime_groups(cfg))
+
+    def kernel(*refs):
+        ahat_ref, acc0_ref, khi_ref, klo_ref = refs[:4]
+        tab_refs = [tuple(refs[4 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[4 + 8 * nG + g] for g in range(nG)]
+        out_ref = refs[4 + 9 * nG]
+        acc_ref = refs[4 + 9 * nG + 1]
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = acc0_ref[0]
+
+        a = ahat_ref[pl.ds(step, 1), :]
+        abit = a.reshape(1, 1, 1, a.shape[-1])
+
+        def kh_at(ip):
+            return khi_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        def kl_at(ip):
+            return klo_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        acc_ref[...] = _step_math_onekernel(
+            cfg, tab_refs, consts_refs, kh_at, kl_at, acc_ref[...], abit, Bb)
+
+        @pl.when(step == n_steps - 1)
+        def _():
+            out_ref[0] = acc_ref[...]
+
+    return kernel
+
+
+def fused_blind_rotate_grid(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
+    """Blind rotation as ONE pallas kernel with grid=(batch blocks, steps):
+    the accumulator lives in VMEM scratch across steps, primes run in
+    lax.fori_loops inside the kernel, and per-step HBM traffic is just the
+    [P, N, LJ*OM] key slice stream (PERF_NOTES.md round-3 plan #1+#3)."""
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
+    W = LJ * OM
+    Bb = _pick_bblk(B)
+    nblk = B // Bb
+    tabs, consts = build_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+
+    acc0_b = jnp.moveaxis(acc0_planes.reshape(G, M, N, nblk, Bb), 3, 0)
+    kernel = _make_grid_kernel(cfg, n_steps, Bb)
+    z = np.int32(0)
+    tdim = lambda nd: (lambda b, i: (z,) * nd)
+    in_specs = [
+        pl.BlockSpec((n_steps, Bb), lambda b, i: (z, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, z, z, z, z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, N, W), lambda b, i: (i, z, z, z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, N, W), lambda b, i: (i, z, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    flat_ops = []
+    for g_tabs in tabs:
+        for t in g_tabs:
+            in_specs.append(
+                pl.BlockSpec(t.shape, tdim(t.ndim),
+                             memory_space=pltpu.VMEM))
+            flat_ops.append(t)
+    for c in consts:
+        in_specs.append(
+            pl.BlockSpec(c.shape, tdim(c.ndim),
+                         memory_space=pltpu.SMEM))
+        flat_ops.append(c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk, n_steps),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, M, N, Bb),
+                               lambda b, i: (b, z, z, z, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk, G, M, N, Bb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((G, M, N, Bb), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interp,
+    )(ahat, acc0_b, khi, klo, *flat_ops)
+    return jnp.moveaxis(out, 0, 3).reshape(G, M, N, B)
 
 
 def _make_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
@@ -633,7 +979,7 @@ def _make_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
 
         a = ahat_ref[pl.ds(step, 1), :]           # [1, Bb] int32
         abit = a.reshape(1, 1, 1, a.shape[-1])
-        khi_t = khi_ref[0].astype(jnp.int32)   # [N, P*LJ*OM] pre-transposed
+        khi_t = khi_ref[0].astype(jnp.int32)   # [P, N, LJ*OM] pre-transposed
         klo_t = klo_ref[0].astype(jnp.int32)
         acc_ref[...] = _step_math(cfg, tabs, khi_t, klo_t, acc_ref[...],
                                   abit, Bb)
@@ -744,14 +1090,11 @@ def fused_blind_rotate_scan(cfg: FusedConfig, tables, khi, klo,
 
     tables_flat = tuple(tables)
 
-    W = LJ * OM
-
     def step(acc, xs):
-        a_row, kh, kl = xs                      # kh/kl [N, P*LJ*OM]
+        a_row, kh, kl = xs                      # kh/kl [P, N, LJ*OM]
         x8 = rot_call(a_row[None], acc)
         chats = jnp.stack(
-            [prime_calls[ip](x8, kh[:, ip * W:(ip + 1) * W],
-                             kl[:, ip * W:(ip + 1) * W], *tables_flat[ip])
+            [prime_calls[ip](x8, kh[ip], kl[ip], *tables_flat[ip])
              for ip in range(P)], axis=0)
         return crt_call(chats, acc), None
 
@@ -766,10 +1109,20 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
     ahat:        [n, B] int32 mod-switched mask (values in [0, 2N])
     acc0_planes: [G, M, N, B] int32
     returns      [G, M, N, B] int32 updated accumulator planes.
+
+    Mode (TFHE_TPU_FUSED_MODE): "grid" (default) = one kernel with
+    grid-over-steps, fori_loop over primes, acc in VMEM scratch;
+    "scan3" = lax.scan of three kernels per step; "mega" = legacy
+    unrolled-prime megakernel.
     """
     import os
 
-    if os.environ.get("TFHE_TPU_MEGAKERNEL", "0") != "1":
+    mode = os.environ.get("TFHE_TPU_FUSED_MODE", "grid")
+    if os.environ.get("TFHE_TPU_MEGAKERNEL", "0") == "1":  # legacy switch
+        mode = "mega"
+    if mode == "grid":
+        return fused_blind_rotate_grid(cfg, khi, klo, ahat, acc0_planes)
+    if mode == "scan3":
         return fused_blind_rotate_scan(cfg, tables, khi, klo, ahat,
                                        acc0_planes)
     n_steps, B = ahat.shape
@@ -797,9 +1150,9 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, M, N, Bb), lambda b, i: (b, z, z, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, P * LJ * OM), lambda b, i: (i, z, z),
+        pl.BlockSpec((1, P, N, LJ * OM), lambda b, i: (i, z, z, z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, P * LJ * OM), lambda b, i: (i, z, z),
+        pl.BlockSpec((1, P, N, LJ * OM), lambda b, i: (i, z, z, z),
                      memory_space=pltpu.VMEM),
     ]
     tables_flat = [t for prime_tabs in tables for t in prime_tabs]
@@ -829,8 +1182,8 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
 class PreparedBskFused:
     """BSK spectra in fused-kernel order.
 
-    khi/klo: [n, P, LJ, OM, N] int16/int8 hi/lo bytes of the balanced
-    per-prime key spectra, spectrum index k2-major (row) k1-minor (col).
+    khi/klo: [n, P, N, LJ*OM] int16/int8 hi/lo bytes of the balanced
+    per-prime key spectra, spectrum index k2-major k1-minor along N.
     (ref: lwe_bootstrap_key_conversion.rs:21 — the standard->transform-domain
     key conversion, here to the exact CRT-NTT domain.)
     """
@@ -886,12 +1239,13 @@ def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
     # dims now [n, P, L, J, O, M, N]; the MAC contracts the GGSW row index
     # j against the accumulator row and outputs poly o (ref: ggsw.rs
     # update_with_fmadd) — rows (l, j) level-major, outputs (o, m); the
-    # (P, LJ, OM) dims merge so the per-step slice is a clean 2D tile
-    spec = spec.reshape(n, len(cfg.primes) * L * J * O * M, N)
-    # pre-transpose to [n, N, P*LJ*OM]: the MAC consumes key columns as
+    # (LJ, OM) dims merge so the per-(step, prime) slice is a 2D tile
+    spec = spec.reshape(n, len(cfg.primes), L * J * O * M, N)
+    # pre-transpose to [n, P, N, LJ*OM]: the MAC consumes key columns as
     # [N, 1] sublane-broadcast vectors, and the lane->sublane transpose is
-    # ~10us per prime per step when done in-kernel
-    spec = jnp.swapaxes(spec, 1, 2)
+    # ~10us per prime per step when done in-kernel; P stays a leading dim
+    # so the grid kernel can dynamic-index primes inside its fori_loop
+    spec = jnp.swapaxes(spec, 2, 3)
     klo = ((spec + 128) & 255) - 128
     khi = ((spec - klo) >> 8).astype(jnp.int16)
     klo = klo.astype(jnp.int8)
