@@ -127,11 +127,13 @@ def external_product_dynamic(ggsw_std: Any, glwe: Any, base_log: int,
 
     kg = jnp.asarray(ggsw_std)
     planes = jnp.stack(
-        [((kg >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+        [jax.lax.bitcast_convert_type(
+            ((kg >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(
+                jnp.uint32), jnp.int32)
          for s in ntt.TORUS_LIMB_SHIFTS],
         axis=-2,
     )  # [B, L, J, O, M, N]
-    kspec = ntt.forward_ntt(planes)
+    kspec = ntt.forward_ntt(planes, u32_bits=True)
 
     prods = []
     for i, p in enumerate(ntt.PRIMES):

@@ -770,10 +770,15 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
 
     X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
 
-    lo_s = jnp.stack([acc[o, 0] for o in range(G)])        # [G, N, Bb]
-    hi_s = (jnp.stack([acc[o, 1] for o in range(G)])
-            if cfg.bits == 64 else None)
-    af = jnp.zeros((OM, N, Bb), jnp.float32)
+    # loop carries are TUPLES of per-plane arrays — .at[] updates on a
+    # stacked array lower to scatter-add, which Mosaic does not implement
+    lo_s = tuple(acc[o, 0] for o in range(G))
+    hi_s = (tuple(acc[o, 1] for o in range(G)) if cfg.bits == 64
+            else tuple())
+    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
+
+    def _tset(tup, i, v):
+        return tup[:i] + (v,) + tup[i + 1:]
 
     offset = 0
     for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
@@ -795,8 +800,8 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
             TCsh = _ds0(TCshr, gip)
             TIC = _ds0(TICr, gip)
             TICsh = _ds0(TICshr, gip)
-            kh = kh_at(offset + gip)               # [N, LJ*OM] int32
-            kl = kl_at(offset + gip)
+            kh = kh_at(np.int32(offset) + gip)     # [N, LJ*OM] int32
+            kl = kl_at(np.int32(offset) + gip)
 
             spec = [
                 _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
@@ -815,34 +820,26 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
                     macc = _fold_t(sacc, p, inv).reshape(C, R * Bb)
                     chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
                                             nl, nlx, p, inv, cfg, Bb)
-                    af = af.at[om].add(chat.astype(jnp.float32) * inv)
+                    af = _tset(af, om,
+                               af[om] + chat.astype(jnp.float32) * inv)
                     if cfg.bits == 64:
                         if m == 0:
                             lo_o, hi_o = _mulacc_c_k64_t(
                                 lo_s[o], hi_s[o], chat,
                                 [cr[gip, 1 + t] for t in range(4)],
                                 [cr[gip, 5 + t] for t in range(4)])
-                            lo_s = lo_s.at[o].set(lo_o)
-                            hi_s = hi_s.at[o].set(hi_o)
+                            lo_s = _tset(lo_s, o, lo_o)
+                            hi_s = _tset(hi_s, o, hi_o)
                         else:
-                            hi_s = hi_s.at[o].add(
-                                _low32_mul_t(chat, cr[gip, 9], cr[gip, 10]))
+                            hi_s = _tset(hi_s, o, hi_s[o] + _low32_mul_t(
+                                chat, cr[gip, 9], cr[gip, 10]))
                     else:
-                        lo_s = lo_s.at[o].add(
-                            _low32_mul_t(chat, cr[gip, 9], cr[gip, 10]))
-            if hi_s is None:
-                return lo_s, af
+                        lo_s = _tset(lo_s, o, lo_s[o] + _low32_mul_t(
+                            chat, cr[gip, 9], cr[gip, 10]))
             return lo_s, hi_s, af
 
-        if cfg.bits == 64:
-            lo_s, hi_s, af = jax.lax.fori_loop(
-                0, len(idx), body, (lo_s, hi_s, af))
-        else:
-            def body32(gip, carry):
-                lo_c, af_c = carry
-                return body(gip, (lo_c, None, af_c))
-
-            lo_s, af = jax.lax.fori_loop(0, len(idx), body32, (lo_s, af))
+        lo_s, hi_s, af = jax.lax.fori_loop(
+            0, len(idx), body, (lo_s, hi_s, af))
         offset += len(idx)
 
     # alpha recovery + final -alpha*M with STATIC chunk constants
@@ -1226,11 +1223,14 @@ def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
     k = jnp.asarray(bsk_standard)
     if bits == 64:
         planes = jnp.stack(
-            [((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+            [jax.lax.bitcast_convert_type(
+                ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(
+                    jnp.uint32), jnp.int32)
              for s in (0, 32)], axis=-2)          # [n, L, J, O, M, N]
     else:
-        planes = k.astype(jnp.int64)[..., None, :]
-    spec_all = ntt.forward_ntt(planes)            # per ntt.PRIMES
+        planes = jax.lax.bitcast_convert_type(
+            k.astype(jnp.uint32), jnp.int32)[..., None, :]
+    spec_all = ntt.forward_ntt(planes, u32_bits=True)  # per ntt.PRIMES
     prime_idx = [ntt.PRIMES.index(p) for p in cfg.primes]
     spec = jnp.stack([spec_all[i] for i in prime_idx])  # [P, n, L, J, O, M, N]
     spec = _spectrum_reorder(spec, R, C)

@@ -247,6 +247,23 @@ def _center_mod(x, p: int):
     return jnp.mod(x + half, p) - half
 
 
+def _center_u32_bytes(x, p: int):
+    """int32 bit-patterns of u32 values -> balanced mod p, pure int32 VPU.
+
+    Byte-plane reduction: v = sum_i b_i 2^(8i) with b_i in [0, 256), so
+    v mod p = fold(sum_i b_i * bal(2^(8i) mod p)); |sum| <= 4*255*p/2
+    < 2^26, one loose f32 fold (q off by <= 1) then one exact fold lands
+    strictly balanced.  Replaces the int64 `jnp.mod` centering that
+    dominated BSK prep on TPU (no 64-bit integer unit; PERF_NOTES.md #5)."""
+    c = [np.int32(_balanced_const(1 << (8 * i), p)) for i in range(4)]
+    b0 = x & 255
+    b1 = (x >> 8) & 255
+    b2 = (x >> 16) & 255
+    b3 = (x >> 24) & 255  # arithmetic shift then mask = logical byte
+    t = b0 * c[0] + b1 * c[1] + b2 * c[2] + b3 * c[3]
+    return fold_p_f32(fold_p_f32(t, p), p)
+
+
 def _to_limbs_i8(x, n_limbs: int):
     """Balanced int32 -> [..., n_limbs] signed int8 balanced-digit limbs."""
     out = []
@@ -323,10 +340,13 @@ def _mm_contract_second(x_bal, mat_limbs, p: int, n_limbs: int):
     return _combine_limb_planes(prod, p, n_limbs)
 
 
-def forward_ntt(x_int, mats=None):
+def forward_ntt(x_int, mats=None, u32_bits: bool = False):
     """x [..., N] signed int (|x| < 2^32) -> list per prime of [..., N]
     balanced int32 negacyclic spectra in four-step storage order
     (position k1*C + k2 holds X[k1 + R*k2]; see spectrum_natural_k).
+
+    With u32_bits=True, x is int32 BIT-PATTERNS of u32 values (the key-prep
+    path): centering runs on int32 byte planes instead of emulated int64.
 
     Four-step: reshape to [R, C], contract r on the MXU, pointwise twiddle
     (Shoup), contract c on the MXU — O(N(R+C)) MACs instead of the dense
@@ -342,8 +362,12 @@ def forward_ntt(x_int, mats=None):
         # int64 centering only when the input really is 64-bit (key planes
         # at prep time); per-step digit inputs are int32: |digit| <= 2^23
         # fits the f32 fold.
-        xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32) \
-            if wide else fold_p_f32(x_int, p)
+        if u32_bits:
+            xc = _center_u32_bytes(x_int, p)
+        elif wide:
+            xc = _center_mod(x_int.astype(jnp.int64), p).astype(jnp.int32)
+        else:
+            xc = fold_p_f32(x_int, p)
         W1, T, Tsh, W2 = fwd[i]
         xr = xc.reshape(*lead, R, C)
         u = _mm_contract_second(xr, W1, p, nl)       # [..., k1, c]

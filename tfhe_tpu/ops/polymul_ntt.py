@@ -47,19 +47,23 @@ def key_to_spectra(key_polys, bits: int = 64) -> Tuple[Any, Any]:
     key ships to the device once; planes and spectra are computed there
     (the tunnel to the TPU is the bottleneck, not the transform).
     """
+    import jax
+
     k = jnp.asarray(key_polys)
     if bits == 64:
         planes = jnp.stack(
             [
-                ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(
-                    jnp.int64)
+                jax.lax.bitcast_convert_type(
+                    ((k >> jnp.uint64(s)) & jnp.uint64(0xFFFFFFFF)).astype(
+                        jnp.uint32), jnp.int32)
                 for s in ntt.TORUS_LIMB_SHIFTS
             ],
             axis=-2,
         )  # [..., 2, N]
     else:
-        planes = k.astype(jnp.int64)[..., None, :]  # [..., 1, N]
-    spec_list = ntt.forward_ntt(planes)
+        planes = jax.lax.bitcast_convert_type(
+            k.astype(jnp.uint32), jnp.int32)[..., None, :]  # [..., 1, N]
+    spec_list = ntt.forward_ntt(planes, u32_bits=True)
     shoup_list = shoup_precompute_device(spec_list)
     return jnp.stack(spec_list), jnp.stack(shoup_list)
 
