@@ -58,7 +58,10 @@ from .pbs import (
     keyswitch_then_pbs,
     pbs_then_keyswitch,
 )
-from .lut import fill_accumulator, make_lut_glwe
+from .lut import fill_accumulator, fill_accumulator_u128, make_lut_glwe
+from .u128_crypto import (decrypt_glwe_u128, decrypt_lwe_u128,
+                          encrypt_glwe_preset_u128, encrypt_lwe_u128,
+                          generate_bootstrap_key_u128)
 from .packing_keyswitch import (
     generate_packing_keyswitch_key,
     packing_keyswitch,
@@ -103,5 +106,11 @@ __all__ = [
     "keyswitch_then_pbs",
     "pbs_then_keyswitch",
     "fill_accumulator",
+    "fill_accumulator_u128",
+    "encrypt_lwe_u128",
+    "decrypt_lwe_u128",
+    "encrypt_glwe_preset_u128",
+    "decrypt_glwe_u128",
+    "generate_bootstrap_key_u128",
     "make_lut_glwe",
 ]

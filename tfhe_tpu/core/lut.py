@@ -44,3 +44,26 @@ def make_lut_glwe(values, polynomial_size: int, glwe_size: int,
         lambda i: values[i], polynomial_size, glwe_size, modulus_sup, delta,
         bits=bits,
     )
+
+
+def fill_accumulator_u128(f, polynomial_size: int, glwe_size: int,
+                          modulus_sup: int, delta: int):
+    """u128-torus LUT accumulator -> [G, N, 2] uint64 pairs
+    (the bits=128 twin of fill_accumulator; host python-int exact)."""
+    from ..ops.u128 import np_pack
+
+    MOD = 1 << 128
+    N = polynomial_size
+    box = N // modulus_sup
+    body = [0] * N
+    for i in range(modulus_sup):
+        v = (int(f(i)) * delta) % MOD
+        for t in range(i * box, (i + 1) * box):
+            body[t] = v
+    half = box // 2
+    for t in range(half):
+        body[t] = (-body[t]) % MOD
+    body = body[half:] + body[:half]
+    out = np.zeros((glwe_size, N, 2), dtype=np.uint64)
+    out[-1] = np_pack(body)
+    return out

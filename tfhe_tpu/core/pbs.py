@@ -51,8 +51,10 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
     (ref: bootstrap.rs:242-331 blind_rotate_assign).
     """
     bits = bsk.bits
-    dt = jnp.uint64 if bits == 64 else jnp.uint32
     N = bsk.polynomial_size
+    if bits == 128:
+        return _blind_rotate_u128(bsk, lut, lwe)
+    dt = jnp.uint64 if bits == 64 else jnp.uint32
     lwe = jnp.asarray(lwe, dt)
     B = lwe.shape[0]
     lut = jnp.asarray(lut, dt)
@@ -99,6 +101,57 @@ def blind_rotate(bsk: PreparedBsk, lut, lwe):
     return acc
 
 
+def _blind_rotate_u128(bsk: PreparedBskNtt, lut, lwe):
+    """128-bit-torus blind rotation (the fft128 analog, ref: fft_impl/
+    fft128_u128/ and lwe_programmable_bootstrapping.rs:1327 f128 PBS).
+
+    lut [B, G, N, 2] (or [G, N, 2]) u64 pairs; lwe [B, n+1, 2] pairs.
+    The modulus switch and gadget decomposition read only the high word;
+    rotations/adds carry across the pair; the external product runs the
+    same exact CRT-NTT with four 32-bit planes.
+    """
+    from ..ops import u128
+
+    N = bsk.polynomial_size
+    lwe = jnp.asarray(lwe, jnp.uint64)
+    B = lwe.shape[0]
+    lut = jnp.asarray(lut, jnp.uint64)
+    if lut.ndim == 3:
+        lut = jnp.broadcast_to(lut[None], (B,) + lut.shape)
+
+    b_hat = modulus_switch(lwe[:, -1, 1], N, bits=64)  # high word only
+    acc = u128.monomial_div(lut, b_hat[:, None], N)
+
+    mask_t = jnp.moveaxis(lwe[:, :-1, :], 0, 1)  # [n, B, 2]
+
+    def step(acc, xs):
+        a_raw, spec_i, shoup_i = xs
+        a_hat = modulus_switch(a_raw[:, 1], N, bits=64)
+        rotated = u128.monomial_mul(acc, a_hat[:, None], N)
+        ct1 = u128.sub(rotated, acc)
+        delta = external_product_ntt(
+            ct1, spec_i, shoup_i, bsk.base_log, bsk.levels, bits=128,
+            fwd_mats=bsk.fwd_mats, inv_mats=bsk.inv_mats,
+        )
+        return u128.add(acc, delta), None
+
+    acc, _ = jax.lax.scan(step, acc, (mask_t, bsk.spectra, bsk.shoup))
+    return acc
+
+
+def sample_extract_u128(glwe):
+    """u128 sample extract: glwe [..., G, N, 2] -> lwe [..., k*N + 1, 2]."""
+    from ..ops import u128
+
+    mask = glwe[..., :-1, :, :]
+    body = glwe[..., -1, 0, :]
+    first = mask[..., :, 0:1, :]
+    rest = u128.neg(mask[..., :, -1:0:-1, :])
+    out_mask = jnp.concatenate([first, rest], axis=-2)
+    out_mask = out_mask.reshape(*glwe.shape[:-3], -1, 2)
+    return jnp.concatenate([out_mask, body[..., None, :]], axis=-2)
+
+
 def sample_extract(glwe):
     """Extract the constant coefficient as an LWE ciphertext.
 
@@ -117,7 +170,10 @@ def sample_extract(glwe):
 
 def programmable_bootstrap(bsk: PreparedBsk, lut, lwe):
     """Classic PBS: [B, n+1] -> [B, k*N + 1] evaluating the LUT.
-    (ref: algorithms/lwe_programmable_bootstrapping.rs:1017/1067)."""
+    (ref: algorithms/lwe_programmable_bootstrapping.rs:1017/1067;
+    the bits=128 path is the f128 variant at :1327)."""
+    if bsk.bits == 128:
+        return sample_extract_u128(blind_rotate(bsk, lut, lwe))
     return sample_extract(blind_rotate(bsk, lut, lwe))
 
 

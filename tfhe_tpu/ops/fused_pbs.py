@@ -789,6 +789,9 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
         def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
                  W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
                  TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
+            # keep the induction variable i32: under x64 an i64 index sends
+            # Mosaic's convert-element-type helper into infinite recursion
+            gip = gip.astype(jnp.int32)
             lo_s, hi_s, af = carry
             p = cr[gip, 0]
             inv = np.float32(1.0) / p.astype(jnp.float32)
@@ -839,7 +842,7 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
             return lo_s, hi_s, af
 
         lo_s, hi_s, af = jax.lax.fori_loop(
-            0, len(idx), body, (lo_s, hi_s, af))
+            np.int32(0), np.int32(len(idx)), body, (lo_s, hi_s, af))
         offset += len(idx)
 
     # alpha recovery + final -alpha*M with STATIC chunk constants
@@ -906,6 +909,8 @@ def fused_blind_rotate_grid(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
     the accumulator lives in VMEM scratch across steps, primes run in
     lax.fori_loops inside the kernel, and per-step HBM traffic is just the
     [P, N, LJ*OM] key slice stream (PERF_NOTES.md round-3 plan #1+#3)."""
+    import sys
+
     n_steps, B = ahat.shape
     G, M, N = cfg.glwe_size, cfg.planes, cfg.N
     P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
@@ -914,6 +919,10 @@ def fused_blind_rotate_grid(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
     nblk = B // Bb
     tabs, consts = build_tables_stacked(cfg)
     interp = jax.default_backend() != "tpu"
+    # the step jaxpr (barrel chains + per-group fori bodies) lowers through
+    # deeply recursive MLIR emission; the default 1000 limit trips mid-lower
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
 
     acc0_b = jnp.moveaxis(acc0_planes.reshape(G, M, N, nblk, Bb), 3, 0)
     kernel = _make_grid_kernel(cfg, n_steps, Bb)

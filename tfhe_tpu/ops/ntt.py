@@ -492,7 +492,20 @@ def crt_to_u64_centered(res_list):
     round trick — `jnp.mod` (magic-number division with emulated 64-bit
     high multiplies) never appears.  Only the final 5-term reconstruction
     mod 2^64 touches emulated u64 multiply-adds."""
-    p, cj, inv, pp_u64 = _garner_consts()
+    bs = _garner_digits(res_list)
+    _, _, _, pp_u64 = _garner_consts()
+    x64 = jnp.zeros(bs[0].shape, jnp.uint64)
+    for i in range(len(bs)):
+        # sign-extend int32 -> int64, then wrap into u64 (two's complement)
+        t = bs[i].astype(jnp.int64).astype(jnp.uint64)
+        x64 = x64 + t * jnp.uint64(pp_u64[i])
+    return x64
+
+
+def _garner_digits(res_list):
+    """Per-prime balanced residues -> balanced mixed-radix digits b_i
+    (|b_i| <= p_i/2) with x = sum_i b_i * prod_{l<i} p_l."""
+    p, cj, inv, _ = _garner_consts()
     bs = [res_list[0]]  # |b_0| <= p_0/2 <= p_i/2 for all i (primes ascend)
     for i in range(1, len(p)):
         # partial = (b_0 + sum_{j>=1} b_j * (p_0..p_{j-1} mod p_i)) mod p_i
@@ -505,12 +518,45 @@ def crt_to_u64_centered(res_list):
         diff = fold_p_f32(res_list[i] - partial, p[i])
         ic, icsh = inv[i]
         bs.append(shoup_mul(diff, ic, icsh, p[i]))
-    x64 = jnp.zeros(bs[0].shape, jnp.uint64)
-    for i in range(len(p)):
-        # sign-extend int32 -> int64, then wrap into u64 (two's complement)
-        t = bs[i].astype(jnp.int64).astype(jnp.uint64)
-        x64 = x64 + t * jnp.uint64(pp_u64[i])
-    return x64
+    return bs
+
+
+def crt_to_u128_centered(res_list):
+    """Per-prime balanced residues -> the true integer mod 2^128 as
+    uint64 (lo, hi) pairs [..., 2] (the fft128 analog of
+    crt_to_u64_centered; ref: fft_impl/fft128_u128/).
+
+    Same balanced-Garner argument: |x| < 2^70 << CRT/2, so the balanced
+    reconstruction is the true integer; here its full 128-bit wrap is kept
+    because a u128 plane combine consumes bits above 2^64."""
+    bs = _garner_digits(res_list)
+    p, _, _, _ = _garner_consts()
+    prod = 1
+    lo = jnp.zeros(bs[0].shape, jnp.uint64)
+    hi = jnp.zeros(bs[0].shape, jnp.uint64)
+    for i in range(len(bs)):
+        pp = prod % (1 << 128)
+        prod *= p[i]
+        pl0 = jnp.uint64(pp & 0xFFFFFFFF)
+        pl1 = jnp.uint64((pp >> 32) & 0xFFFFFFFF)
+        ph = jnp.uint64((pp >> 64) % (1 << 64))
+        b = bs[i]
+        babs = jnp.abs(b).astype(jnp.uint64)          # |b| <= p_i/2 < 2^16
+        p0 = babs * pl0                               # < 2^48
+        p1 = babs * pl1                               # < 2^48
+        t = (p1 & jnp.uint64(0xFFFFFFFF)) << jnp.uint64(32)
+        term_lo = p0 + t
+        carry = (term_lo < p0).astype(jnp.uint64)
+        term_hi = (p1 >> jnp.uint64(32)) + carry + babs * ph
+        neg = b < 0
+        # x += term  (or x -= term when b < 0), with explicit carry/borrow
+        add_lo = lo + term_lo
+        add_hi = hi + term_hi + (add_lo < lo).astype(jnp.uint64)
+        sub_lo = lo - term_lo
+        sub_hi = hi - term_hi - (lo < term_lo).astype(jnp.uint64)
+        lo = jnp.where(neg, sub_lo, add_lo)
+        hi = jnp.where(neg, sub_hi, add_hi)
+    return jnp.stack([lo, hi], axis=-1)
 
 
 # ---------------------------------------------------------------------------

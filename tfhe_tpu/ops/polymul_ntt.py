@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import decomposition, ntt
+from . import decomposition, ntt, u128
 
 
 def shoup_precompute_device(spec_list):
@@ -50,7 +50,9 @@ def key_to_spectra(key_polys, bits: int = 64) -> Tuple[Any, Any]:
     import jax
 
     k = jnp.asarray(key_polys)
-    if bits == 64:
+    if bits == 128:
+        planes = u128.to_planes32(k)  # [..., 4, N] (key as [..., N, 2])
+    elif bits == 64:
         planes = jnp.stack(
             [
                 jax.lax.bitcast_convert_type(
@@ -73,16 +75,27 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
                          inv_mats=None):
     """One blind-rotation step's GGSW external product, exactly.
 
-    acc_diff:  [B, G, N] uint  (ct1 = rotated - acc)
+    acc_diff:  [B, G, N] uint  (ct1 = rotated - acc); at bits=128 the torus
+               rides a trailing uint64 (lo, hi) pair axis: [B, G, N, 2]
     spec_step: [P, L, J=G, O=G, M, N] int32 balanced key spectra
     shoup_step: same shape, Shoup companions
-    -> [B, O, N] uint delta to add to the accumulator.
+    -> [B, O, N] uint delta to add to the accumulator ([B, O, N, 2] at 128).
     """
-    B, G, N = acc_diff.shape
+    if bits == 128:
+        # digits depend only on the top base_log*levels (+1 rounding) bits,
+        # which live entirely in the high word while blL <= 62 — every
+        # realistic gadget (ref f128 PBS, lwe_programmable_bootstrapping.
+        # rs:1327, uses blL well under 64)
+        assert base_log * levels <= 62, "u128 decompose needs blL <= 62"
+        B, G, N = acc_diff.shape[:-1]
+        digits = decomposition.signed_decompose(
+            acc_diff[..., 1], base_log, levels, bits=64)
+    else:
+        B, G, N = acc_diff.shape
+        digits = decomposition.signed_decompose(
+            acc_diff, base_log, levels, bits=bits
+        )  # [B, G, N, L] int32
     M = spec_step.shape[-2]
-    digits = decomposition.signed_decompose(
-        acc_diff, base_log, levels, bits=bits
-    )  # [B, G, N, L] int32
     # fold (L, J): digits [B, L, J, N]; key [P, L*J, O, M, N]
     d = jnp.transpose(digits, (0, 3, 1, 2)).reshape(B, levels * G, N)
     dspec_list = ntt.forward_ntt(d, mats=fwd_mats)  # per prime [B, LJ, N]
@@ -110,6 +123,9 @@ def external_product_ntt(acc_diff, spec_step, shoup_step, base_log: int,
         prods.append(ntt.fold_p_f32(s, p))
 
     coeffs = ntt.inverse_ntt(prods, mats=inv_mats)  # per prime [B, O, M, N]
+    if bits == 128:
+        pairs = ntt.crt_to_u128_centered(coeffs)  # [B, O, 4, N, 2]
+        return u128.planes_to_u128(pairs)         # [B, O, N, 2]
     conv = ntt.crt_to_u64_centered(coeffs)  # [B, O, M, N] u64
     if bits == 64:
         return ntt.planes_to_u64(conv)  # [B, O, N]
@@ -152,7 +168,10 @@ def prepare_bsk_ntt(bsk_standard: np.ndarray, base_log: int,
     """Standard-domain BSK [n, L, G(row j), G(poly o), N] u64 ->
     NTT-domain prepared key (the TPU analog of the reference's
     standard->Fourier conversion, ref: lwe_bootstrap_key_conversion.rs:21)."""
-    n, L, J, O, N = bsk_standard.shape
+    if bits == 128:
+        n, L, J, O, N = bsk_standard.shape[:-1]  # trailing u64 pair axis
+    else:
+        n, L, J, O, N = bsk_standard.shape
     spec, shoup = key_to_spectra(bsk_standard, bits=bits)  # [P,n,L,J,O,M,N]
     spec = jnp.moveaxis(spec, 0, 1)  # [n, P, L, J, O, 2, N]
     shoup = jnp.moveaxis(shoup, 0, 1)

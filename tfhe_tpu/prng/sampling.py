@@ -22,6 +22,9 @@ from .stream import AesCtrStream
 def uniform_torus(stream: AesCtrStream, n: int, bits: int = 64) -> np.ndarray:
     nbytes = bits // 8
     raw = stream.next_bytes(n * nbytes)
+    if bits == 128:
+        # u128 as little-endian (lo, hi) uint64 pairs [n, 2]
+        return raw.view(np.uint64).reshape(n, 2).copy()
     dtype = np.uint64 if bits == 64 else np.uint32
     return raw.view(dtype).copy()  # little-endian platform
 
@@ -39,6 +42,14 @@ def f64_from_torus(x: np.ndarray, bits: int = 64) -> np.ndarray:
     # |scaled| <= 2^(bits-1); guard the exact edge to avoid signed overflow
     limit = float(2.0 ** (bits - 1))
     scaled = np.where(scaled >= limit, scaled - float(2.0 ** bits), scaled)
+    if bits == 128:
+        # exact split of the f64 value (<= 53 significant bits) into
+        # two's-complement (lo, hi) uint64 pairs [n, 2]
+        hi_f = np.floor(scaled / float(2.0 ** 64))
+        lo_f = scaled - hi_f * float(2.0 ** 64)  # in [0, 2^64), exact
+        hi = hi_f.astype(np.int64).astype(np.uint64)
+        lo = lo_f.astype(np.uint64)
+        return np.stack([lo, hi], axis=-1)
     dtype = np.uint64 if bits == 64 else np.uint32
     return scaled.astype(np.int64).astype(dtype)
 
@@ -89,6 +100,8 @@ def gaussian_noise_torus(stream: AesCtrStream, n: int, std: float,
     if std == 0.0:
         # Degenerate distribution — still consume no bytes (matches x*0=0
         # through the sampler, but skip the rejection loop entirely for speed).
+        if bits == 128:
+            return np.zeros((n, 2), dtype=np.uint64)
         return np.zeros(n, dtype=np.uint64 if bits == 64 else np.uint32)
     n_pairs = (n + 1) // 2
     vals = gaussian_pairs(stream, n_pairs, std)
