@@ -37,6 +37,7 @@ from .shortint_params import (
     ALL_PARAMETER_SETS,
     get_parameters,
 )
+from . import compact_pk_params, multi_bit_params, wopbs_params
 from .boolean_params import (
     DEFAULT_PARAMETERS,
     DEFAULT_PARAMETERS_KS_PBS,
@@ -74,6 +75,9 @@ __all__ = [
     "WOPBS_PARAM_MESSAGE_2_CARRY_2_TEST",
     "ALL_PARAMETER_SETS",
     "get_parameters",
+    "wopbs_params",
+    "compact_pk_params",
+    "multi_bit_params",
     "DEFAULT_PARAMETERS",
     "DEFAULT_PARAMETERS_KS_PBS",
     "PARAMETERS_ERROR_PROB_2_POW_MINUS_165",

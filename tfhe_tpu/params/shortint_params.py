@@ -326,5 +326,16 @@ ALL_PARAMETER_SETS = {
 }
 
 
+def _extend_catalog():
+    """Full transcribed families (wopbs / compact-pk / multi-bit)."""
+    from . import compact_pk_params, multi_bit_params, wopbs_params
+    for mod in (wopbs_params, compact_pk_params, multi_bit_params):
+        for prm in mod.ALL:
+            ALL_PARAMETER_SETS.setdefault(prm.name, prm)
+
+
+_extend_catalog()
+
+
 def get_parameters(name: str):
     return ALL_PARAMETER_SETS[name]
