@@ -147,16 +147,28 @@ class ServerKey:
     # batched primitives (TPU-native)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _bucket(B: int) -> int:
+        """Smallest m * 2^e >= B with m in [4, 8] (and >= 8).
+
+        A 3-bit-mantissa ladder: <= 1.25x padding waste (the old
+        power-of-two buckets wasted up to 2x PBS cost on odd string-op
+        shapes) at ~4 compiled shapes per octave."""
+        if B <= 8:
+            return 8
+        e = (B - 1).bit_length() - 3
+        return -(-B // (1 << e)) << e
+
     def _pbs(self, data: np.ndarray, acc) -> np.ndarray:
         """One fused keyswitch+bootstrap device call over a batch.
 
-        Batch sizes are padded up to power-of-two buckets so arbitrary
-        scheme-level batch shapes (string ops produce many) reuse a handful
-        of compiled programs — compile-cache hygiene that also keeps XLA
-        shapes stable on TPU."""
+        Batch sizes are padded up to bucket shapes so arbitrary
+        scheme-level batch shapes (string ops produce many) reuse a small
+        set of compiled programs — compile-cache hygiene that also keeps
+        XLA shapes stable on TPU."""
         data = np.asarray(data)
         B = data.shape[0]
-        bucket = 1 << max(3, (B - 1).bit_length())
+        bucket = self._bucket(B)
         acc_arr = acc
         if bucket != B:
             pad = bucket - B
