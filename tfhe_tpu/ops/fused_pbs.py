@@ -757,21 +757,65 @@ def _ds0(ref, i):
 
 def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
                          kl_at, acc, abit, Bb: int):
-    """One blind-rotation step with lax.fori_loop over primes (per group).
+    """One blind-rotation step with group fori-loops over primes.
 
     Same math as _step_math, but per-prime tables/constants are read with a
     dynamic index inside the loop so the kernel body holds ONE prime body
     per (nl, nlx) group instead of all P unrolled — the unrolled body
-    OOM-kills the Mosaic compile helper (PERF_NOTES.md).
-    """
+    OOM-kills the Mosaic compile helper (PERF_NOTES.md).  Loop carries are
+    TUPLES of per-plane arrays (.at[] on a stacked array lowers to
+    scatter-add, unimplemented in Mosaic) and the loop counter is an
+    explicit i32 scan carry (fori_loop's is i64 under x64, and Mosaic's
+    i64->i32 convert helper recurses forever)."""
+    X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
+    return _primes_crt_math(cfg, tab_refs, consts_refs, kh_at, kl_at, X8,
+                            acc, Bb)
+
+
+def _make_grid_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
+    nG = len(prime_groups(cfg))
+
+    def kernel(*refs):
+        ahat_ref, acc0_ref, khi_ref, klo_ref = refs[:4]
+        tab_refs = [tuple(refs[4 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[4 + 8 * nG + g] for g in range(nG)]
+        out_ref = refs[4 + 9 * nG]
+        acc_ref = refs[4 + 9 * nG + 1]
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = acc0_ref[0]
+
+        a = ahat_ref[pl.ds(step, 1), :]
+        abit = a.reshape(1, 1, 1, a.shape[-1])
+
+        def kh_at(ip):
+            return khi_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        def kl_at(ip):
+            return klo_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        acc_ref[...] = _step_math_onekernel(
+            cfg, tab_refs, consts_refs, kh_at, kl_at, acc_ref[...], abit, Bb)
+
+        @pl.when(step == n_steps - 1)
+        def _():
+            out_ref[0] = acc_ref[...]
+
+    return kernel
+
+
+def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
+                     X8, acc, Bb: int):
+    """Per-step math AFTER rotation/decompose: the prime-group fori loops
+    (forward NTT + MAC + inverse NTT + streaming CRT) + alpha recovery.
+    Shared by the one-kernel grid step and the scan2 two-kernel step."""
     N, R, C = cfg.N, cfg.R, cfg.C
     G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
     LJ, OM = L * G, G * M
 
-    X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
-
-    # loop carries are TUPLES of per-plane arrays — .at[] updates on a
-    # stacked array lower to scatter-add, which Mosaic does not implement
     lo_s = tuple(acc[o, 0] for o in range(G))
     hi_s = (tuple(acc[o, 1] for o in range(G)) if cfg.bits == 64
             else tuple())
@@ -789,9 +833,6 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
         def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
                  W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
                  TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
-            # keep the induction variable i32: under x64 an i64 index sends
-            # Mosaic's convert-element-type helper into infinite recursion
-            gip = gip.astype(jnp.int32)
             lo_s, hi_s, af = carry
             p = cr[gip, 0]
             inv = np.float32(1.0) / p.astype(jnp.float32)
@@ -841,11 +882,15 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
                             chat, cr[gip, 9], cr[gip, 10]))
             return lo_s, hi_s, af
 
-        lo_s, hi_s, af = jax.lax.fori_loop(
-            np.int32(0), np.int32(len(idx)), body, (lo_s, hi_s, af))
+        def scan_body(carry, _, body=body):
+            gip, state = carry
+            return (gip + np.int32(1), body(gip, state)), None
+
+        (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
+            scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
+            length=len(idx))
         offset += len(idx)
 
-    # alpha recovery + final -alpha*M with STATIC chunk constants
     lo_fin, hi_fin = [], []
     for o in range(G):
         lo_o = lo_s[o]
@@ -869,39 +914,72 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
     return jnp.stack([lo_fin[o][None] for o in range(G)], axis=0)
 
 
-def _make_grid_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
+def fused_blind_rotate_scan2(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
+    """Two kernels per lax.scan step: the known-good rot/decompose kernel,
+    then ONE primes+CRT kernel (group fori-loops) that updates the
+    accumulator — a fallback between scan3 (7 launches/step) and the grid
+    megakernel (whose bigger body stresses the Mosaic compiler)."""
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
+    W = LJ * OM
     nG = len(prime_groups(cfg))
+    tabs, consts = build_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
-    def kernel(*refs):
-        ahat_ref, acc0_ref, khi_ref, klo_ref = refs[:4]
+    def rot_kernel(a_ref, acc_ref, x8_ref):
+        abit = a_ref[...].reshape(1, 1, 1, B)
+        x8_ref[...] = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
+
+    rot_call = pl.pallas_call(
+        rot_kernel,
+        in_specs=[vm] * 2, out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct(
+            (LJ, cfg.R * cfg.ld, cfg.C * B), jnp.int8),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    n_tab = 8 * nG
+
+    def pc_kernel(*refs):
+        x8_ref, kh_ref, kl_ref, acc_ref = refs[:4]
         tab_refs = [tuple(refs[4 + 8 * g + j] for j in range(8))
                     for g in range(nG)]
-        consts_refs = [refs[4 + 8 * nG + g] for g in range(nG)]
-        out_ref = refs[4 + 9 * nG]
-        acc_ref = refs[4 + 9 * nG + 1]
-        step = pl.program_id(1)
-
-        @pl.when(step == 0)
-        def _():
-            acc_ref[...] = acc0_ref[0]
-
-        a = ahat_ref[pl.ds(step, 1), :]
-        abit = a.reshape(1, 1, 1, a.shape[-1])
+        consts_refs = [refs[4 + n_tab + g] for g in range(nG)]
+        out_ref = refs[4 + n_tab + nG]
 
         def kh_at(ip):
-            return khi_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
 
         def kl_at(ip):
-            return klo_ref[0, pl.ds(ip, 1)][0].astype(jnp.int32)
+            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
 
-        acc_ref[...] = _step_math_onekernel(
-            cfg, tab_refs, consts_refs, kh_at, kl_at, acc_ref[...], abit, Bb)
+        out_ref[...] = _primes_crt_math(
+            cfg, tab_refs, consts_refs, kh_at, kl_at, x8_ref[...],
+            acc_ref[...], B)
 
-        @pl.when(step == n_steps - 1)
-        def _():
-            out_ref[0] = acc_ref[...]
+    pc_call = pl.pallas_call(
+        pc_kernel,
+        in_specs=[vm] * 4 + [vm] * n_tab + [sm] * nG,
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
 
-    return kernel
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+
+    def step(acc, xs):
+        a_row, kh, kl = xs                      # kh/kl [P, N, W]
+        x8 = rot_call(a_row[None], acc)
+        return pc_call(x8, kh, kl, acc, *tabs_flat, *consts), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (ahat, khi, klo))
+    return out
 
 
 def fused_blind_rotate_grid(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
@@ -1116,18 +1194,21 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
     acc0_planes: [G, M, N, B] int32
     returns      [G, M, N, B] int32 updated accumulator planes.
 
-    Mode (TFHE_TPU_FUSED_MODE): "grid" (default) = one kernel with
-    grid-over-steps, fori_loop over primes, acc in VMEM scratch;
-    "scan3" = lax.scan of three kernels per step; "mega" = legacy
-    unrolled-prime megakernel.
+    Mode (TFHE_TPU_FUSED_MODE): "grid" = one kernel with grid-over-steps,
+    group fori-loops over primes, acc in VMEM scratch; "scan2" (default) =
+    lax.scan with rot kernel + one primes/CRT kernel per step; "scan3" =
+    lax.scan of three kernels per step; "mega" = legacy unrolled-prime
+    megakernel.
     """
     import os
 
-    mode = os.environ.get("TFHE_TPU_FUSED_MODE", "grid")
+    mode = os.environ.get("TFHE_TPU_FUSED_MODE", "scan2")
     if os.environ.get("TFHE_TPU_MEGAKERNEL", "0") == "1":  # legacy switch
         mode = "mega"
     if mode == "grid":
         return fused_blind_rotate_grid(cfg, khi, klo, ahat, acc0_planes)
+    if mode == "scan2":
+        return fused_blind_rotate_scan2(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan3":
         return fused_blind_rotate_scan(cfg, tables, khi, klo, ahat,
                                        acc0_planes)
