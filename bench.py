@@ -128,8 +128,9 @@ def main() -> None:
 
     def run_real():
         try:
+            batch = int(os.environ.get("BENCH_BATCH", 128))
             box["result"] = _measure(
-                PARAM_MESSAGE_2_CARRY_2_KS_PBS, 128, 3, platform)
+                PARAM_MESSAGE_2_CARRY_2_KS_PBS, batch, 3, platform)
         except Exception as e:  # pragma: no cover
             box["error"] = repr(e)
 
