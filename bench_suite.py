@@ -22,6 +22,14 @@ import time
 
 import numpy as np
 
+# Persistent XLA compile cache (same as bench.py): compiles through the
+# axon tunnel take minutes, and the suite touches many batch shapes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def _record(name, value, unit, baseline_ms=None, **extra):
     rec = {"name": name, "value": round(value, 4), "unit": unit}
@@ -87,7 +95,7 @@ def bench_integer(real: bool):
     params = PARAM_MESSAGE_2_CARRY_2_KS_PBS if real \
         else PARAM_MESSAGE_2_CARRY_2_TEST
     config = api.ConfigBuilder.default().use_custom_parameters(params).build()
-    cks, sks = api.generate_keys(config, seed=3)
+    cks, sks = api.generate_keys(config, seed=99, cache_dir=".keycache")
     api.set_server_key(sks)
     a = api.FheUint32.encrypt(123456789, cks)
     b = api.FheUint32.encrypt(987654, cks)
@@ -106,7 +114,7 @@ def bench_strings(real: bool):
 
     if real:
         from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
-        cks, sks = strings.gen_keys(P, seed=4)
+        cks, sks = strings.gen_keys(P, seed=99, cache_dir=".keycache")
         tag = P.name
     else:
         cks, sks = strings.gen_keys_test(seed=4)

@@ -47,10 +47,12 @@ class ConfigBuilder:
 
 
 class ClientKey:
-    def __init__(self, config: Config, seed: Optional[int] = None):
+    def __init__(self, config: Config, seed: Optional[int] = None,
+                 _radix: Optional[RadixClientKey] = None):
         self.config = config
         # num_blocks is chosen per FheUint type at encrypt time
-        self._radix = RadixClientKey(config.parameters, num_blocks=1, seed=seed)
+        self._radix = _radix if _radix is not None else RadixClientKey(
+            config.parameters, num_blocks=1, seed=seed)
 
     @property
     def radix(self) -> RadixClientKey:
@@ -58,14 +60,25 @@ class ClientKey:
 
 
 class ServerKey:
-    def __init__(self, cks: ClientKey):
+    def __init__(self, cks: ClientKey, _integer_key=None):
         from ..shortint import ServerKey as ShortintServerKey
 
-        self.integer_key = IntegerServerKey(ShortintServerKey(cks.radix.key))
+        self.integer_key = (_integer_key if _integer_key is not None
+                            else IntegerServerKey(
+                                ShortintServerKey(cks.radix.key)))
 
 
-def generate_keys(config: Config, seed: Optional[int] = None):
-    """(ref: high_level_api/keys/mod.rs generate_keys)"""
+def generate_keys(config: Config, seed: Optional[int] = None,
+                  cache_dir: Optional[str] = None):
+    """(ref: high_level_api/keys/mod.rs generate_keys; cache_dir + seed
+    persists the raw keys via the shortint keycache)"""
+    if cache_dir is not None and seed is not None:
+        from ..integer import gen_keys_radix
+
+        r_cks, i_sks = gen_keys_radix(config.parameters, num_blocks=1,
+                                      seed=seed, cache_dir=cache_dir)
+        cks = ClientKey(config, _radix=r_cks)
+        return cks, ServerKey(cks, _integer_key=i_sks)
     cks = ClientKey(config, seed=seed)
     sks = ServerKey(cks)
     return cks, sks

@@ -19,8 +19,16 @@ from .crt import (
 
 
 def gen_keys_radix(params: ClassicPBSParameters, num_blocks: int,
-                   seed: Optional[int] = None):
-    """(ref: tfhe/src/integer/mod.rs:171 gen_keys_radix)"""
+                   seed: Optional[int] = None,
+                   cache_dir: Optional[str] = None):
+    """(ref: tfhe/src/integer/mod.rs:171 gen_keys_radix; with cache_dir +
+    seed the raw keys ride the shortint keycache, ref: integer/keycache.rs)
+    """
+    if cache_dir is not None and seed is not None:
+        s_cks, s_sks = shortint_gen_keys(params, seed=seed,
+                                         cache_dir=cache_dir)
+        cks = RadixClientKey(params, num_blocks, _key=s_cks)
+        return cks, IntegerServerKey(s_sks)
     cks = RadixClientKey(params, num_blocks, seed=seed)
     sks = IntegerServerKey(ShortintServerKey(cks.key))
     return cks, sks

@@ -15,8 +15,9 @@ from .signed import SignedRadixCiphertext
 
 class RadixClientKey:
     def __init__(self, params: ClassicPBSParameters, num_blocks: int,
-                 seed: Optional[int] = None):
-        self.key = ShortintClientKey(params, seed=seed)
+                 seed: Optional[int] = None, _key=None):
+        self.key = _key if _key is not None else ShortintClientKey(
+            params, seed=seed)
         self.num_blocks = num_blocks
         self.params = params
 

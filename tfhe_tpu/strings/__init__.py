@@ -14,9 +14,10 @@ from .server_key import StringServerKey
 
 
 def gen_keys(params: ClassicPBSParameters = PARAM_MESSAGE_2_CARRY_2_KS_PBS,
-             seed: Optional[int] = None):
+             seed: Optional[int] = None, cache_dir: Optional[str] = None):
     """(ref: fhe_strings/ciphertext.rs gen_keys)"""
-    cks, sks = gen_keys_radix(params, NUMBER_BLOCKS, seed=seed)
+    cks, sks = gen_keys_radix(params, NUMBER_BLOCKS, seed=seed,
+                              cache_dir=cache_dir)
     return StringClientKey(cks), StringServerKey(sks)
 
 
