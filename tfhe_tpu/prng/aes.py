@@ -140,7 +140,16 @@ def _try_load_native():
         return _NATIVE_LIB
     path = os.path.join(os.path.dirname(__file__), "csrc", "libaes_csprng.so")
     if not os.path.exists(path):
-        return None
+        # Best-effort one-shot build (g++ is in the image); fall back to the
+        # numpy backend when no toolchain is present.
+        try:
+            from .build_native import build
+            if build(verbose=False) is None:
+                return None
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
     try:
         lib = ctypes.CDLL(path)
         lib.aes128_ctr_blocks.argtypes = [
