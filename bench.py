@@ -23,11 +23,11 @@ import numpy as np
 # Persistent XLA compilation cache: compiles through the axon tunnel take
 # minutes (the executable ships over a ~14MB/s link), so cache hits are the
 # difference between the real-parameter phase fitting its budget or not.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NOTE: this jax build ignores JAX_COMPILATION_CACHE_DIR — the cache must be
+# enabled programmatically (utils/jaxcache.py).
+from tfhe_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
 
 BASELINE_PBS_PER_S = 1000.0 / 16.6
 REAL_PHASE_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480))

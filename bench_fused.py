@@ -3,7 +3,8 @@
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+from tfhe_tpu.utils import enable_persistent_cache
+enable_persistent_cache()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

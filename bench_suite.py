@@ -24,11 +24,9 @@ import numpy as np
 
 # Persistent XLA compile cache (same as bench.py): compiles through the
 # axon tunnel take minutes, and the suite touches many batch shapes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+from tfhe_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def _record(name, value, unit, baseline_ms=None, **extra):

@@ -1,6 +1,7 @@
 import os, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
 import numpy as np, jax
+from tfhe_tpu.utils import enable_persistent_cache
+enable_persistent_cache()
 from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as P
 from tfhe_tpu.shortint.client_key import ClientKey
 

@@ -9,7 +9,8 @@ Compares the four-step stage-1 contraction as:
 and the full forward_ntt/inverse_ntt as shipped.
 """
 import os, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+from tfhe_tpu.utils import enable_persistent_cache
+enable_persistent_cache()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax, jax.numpy as jnp, numpy as np
 from tfhe_tpu.ops import ntt

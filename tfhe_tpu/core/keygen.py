@@ -174,13 +174,19 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@jax.jit
+def _prepare_bsk_device(ext):
+    lb = limbs_mod.torus_to_limbs(ext, bits=64 if ext.dtype == jnp.uint64
+                                  else 32)  # [n,L,J,O,2N,M]
+    return jnp.moveaxis(lb, -1, -2)  # [n,L,J,O,M,2N]
+
+
 def prepare_bsk(bsk: np.ndarray, base_log: int, bits: int = 64) -> PreparedBsk:
     n, L, G, _, N = bsk.shape
     dt = _np_udtype(bits)
     with np.errstate(over="ignore"):
         ext = np.concatenate([bsk, (dt(0) - bsk)], axis=-1)  # [n,L,J,O,2N]
-    lb = limbs_mod.torus_to_limbs(jnp.asarray(ext), bits=bits)  # [n,L,J,O,2N,M]
-    lb = jnp.moveaxis(lb, -1, -2)  # [n,L,J,O,M,2N]
+    lb = _prepare_bsk_device(jnp.asarray(ext))
     return PreparedBsk(
         ext_limbs=lb,
         base_log=base_log,
@@ -192,10 +198,16 @@ def prepare_bsk(bsk: np.ndarray, base_log: int, bits: int = 64) -> PreparedBsk:
     )
 
 
+@jax.jit
+def _prepare_ksk_device(k):
+    lb = limbs_mod.torus_to_limbs(k, bits=64 if k.dtype == jnp.uint64
+                                  else 32)  # [n_in,lev,n_out+1,M]
+    return jnp.moveaxis(lb, -1, -2)  # [n_in, lev, M, n_out+1]
+
+
 def prepare_ksk(ksk: np.ndarray, base_log: int, bits: int = 64) -> PreparedKsk:
     n_in, levels, out_size = ksk.shape
-    lb = limbs_mod.torus_to_limbs(jnp.asarray(ksk), bits=bits)  # [n_in,lev,n_out+1,M]
-    lb = jnp.moveaxis(lb, -1, -2)  # [n_in, lev, M, n_out+1]
+    lb = _prepare_ksk_device(jnp.asarray(ksk))
     return PreparedKsk(
         limbs=lb,
         base_log=base_log,

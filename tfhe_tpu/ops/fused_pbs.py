@@ -1303,14 +1303,19 @@ def _spectrum_reorder(spec_flat, R: int, C: int):
     return jnp.swapaxes(s, -1, -2).reshape(*lead, R * C)
 
 
-def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
-                      bits: int = 64) -> PreparedBskFused:
-    """Standard-domain BSK [n, L, J, O, N] uint -> fused-kernel key."""
-    n, L, J, O, N = bsk_standard.shape
-    cfg = make_config(N, J, L, base_log, bits)
+@functools.partial(jax.jit, static_argnums=(1,))
+def _prepare_bsk_fused_device(k, cfg: FusedConfig):
+    """Device half of prepare_bsk_fused: [n, L, J, O, N] uint -> (khi, klo).
+
+    One jitted program (instead of ~30 eager dispatches): through the remote
+    TPU tunnel each eager op pays ~1 s of compile RPC on first use per
+    process, which made key prep ~50 s; as a single executable it is one
+    persistently-cached compile and then sub-second.
+    """
+    n, L, J, O, N = k.shape
+    bits = cfg.bits
     R, C = cfg.R, cfg.C
     M = cfg.planes
-    k = jnp.asarray(bsk_standard)
     if bits == 64:
         planes = jnp.stack(
             [jax.lax.bitcast_convert_type(
@@ -1339,6 +1344,15 @@ def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
     klo = ((spec + 128) & 255) - 128
     khi = ((spec - klo) >> 8).astype(jnp.int16)
     klo = klo.astype(jnp.int8)
+    return khi, klo
+
+
+def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
+                      bits: int = 64) -> PreparedBskFused:
+    """Standard-domain BSK [n, L, J, O, N] uint -> fused-kernel key."""
+    n, L, J, O, N = bsk_standard.shape
+    cfg = make_config(N, J, L, base_log, bits)
+    khi, klo = _prepare_bsk_fused_device(jnp.asarray(bsk_standard), cfg)
     return PreparedBskFused(
         khi=khi, klo=klo, tables=build_tables_device(cfg), cfg=cfg,
         base_log=base_log, levels=L, glwe_size=J, polynomial_size=N,

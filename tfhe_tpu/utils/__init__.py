@@ -1,5 +1,6 @@
 """Utility subsystems: serialization, conformance, key caching."""
 
+from .jaxcache import enable_persistent_cache
 from .keycache import KeyCache, KEY_CACHE
 from .profiling import OpTimer, annotate, trace
 from .serialization import (
@@ -12,6 +13,7 @@ from .serialization import (
 )
 
 __all__ = [
+    "enable_persistent_cache",
     "KeyCache",
     "KEY_CACHE",
     "OpTimer",
