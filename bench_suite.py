@@ -29,11 +29,14 @@ from tfhe_tpu.utils import enable_persistent_cache
 enable_persistent_cache()
 
 
-def _record(name, value, unit, baseline_ms=None, **extra):
+def _record(name, value, unit, baseline_ms=None, baseline_rate=None, **extra):
     rec = {"name": name, "value": round(value, 4), "unit": unit}
     if baseline_ms is not None and unit == "ms":
         # published tfhe-rs numbers on m6i.metal (BASELINE.md)
         rec["vs_baseline_speedup"] = round(baseline_ms / value, 3)
+    if baseline_rate is not None:
+        # rate metrics (PBS/s, gates/s): ours / published reference rate
+        rec["vs_baseline_speedup"] = round(value / baseline_rate, 3)
     rec.update(extra)
     print(json.dumps(rec), flush=True)
 
@@ -82,7 +85,8 @@ def bench_shortint(real: bool):
             fn(sks.ksk, sks.bsk, lut.acc, data)))
         _record(f"shortint_ks_pbs_batch{batch}::{params.name}",
                 batch / dt, "PBS/s", batch=batch,
-                latency_ms=round(dt * 1e3, 2))
+                latency_ms=round(dt * 1e3, 2),
+                baseline_rate=1000.0 / 16.6)  # single-core ks+pbs, benchmarks.md:42
 
 
 def bench_integer(real: bool):
@@ -101,6 +105,9 @@ def bench_integer(real: bool):
         ("add", lambda: a + b, 132.0),
         ("mul", lambda: a * b, 333.0),
         ("eq", lambda: a.eq(b), 57.4),
+        ("ge", lambda: a.ge(b), 98.8),
+        ("bitand", lambda: a & b, 21.0),
+        ("shl4", lambda: a << 4, 180.0),
     ]:
         dt = _time(fn, iters=2)
         _record(f"fheuint32_{opname}::{params.name}", dt * 1e3, "ms",
@@ -122,11 +129,64 @@ def bench_strings(real: bool):
     dt = _time(lambda: sks.contains(s, pat), iters=2)
     _record(f"strings_contains_len11::{tag}", dt * 1e3, "ms",
             baseline_ms=78.6)  # find("foo","oo") example output
+    dt = _time(lambda: sks.find(s, pat), iters=2)
+    _record(f"strings_find_len11::{tag}", dt * 1e3, "ms",
+            baseline_ms=78.6)  # fhe_strings/Readme.md:32
+
+
+def bench_keygen(real: bool):
+    """Keygen family (ref: par_allocate_and_generate_new_lwe_bootstrap_key —
+    no published m6i number, reported absolute)."""
+    from tfhe_tpu import shortint
+    from tfhe_tpu.params import (PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+                                 PARAM_MESSAGE_2_CARRY_2_TEST)
+
+    params = PARAM_MESSAGE_2_CARRY_2_KS_PBS if real         else PARAM_MESSAGE_2_CARRY_2_TEST
+    import jax
+    t0 = time.time()
+    cks, sks = shortint.gen_keys(params, seed=31337)  # fresh, no cache
+    jax.block_until_ready(sks.bsk.khi if hasattr(sks.bsk, "khi")
+                          else sks.bsk.ext_limbs)
+    _record(f"keygen_fresh::{params.name}", time.time() - t0, "s")
+    t0 = time.time()
+    cks, sks = shortint.gen_keys(params, seed=99, cache_dir=".keycache")
+    jax.block_until_ready(sks.bsk.khi if hasattr(sks.bsk, "khi")
+                          else sks.bsk.ext_limbs)
+    _record(f"keygen_cached::{params.name}", time.time() - t0, "s")
+
+
+def bench_pbs_throughput(real: bool):
+    """pbs_throughput analog (ref: benches/core_crypto/pbs_bench.rs
+    fn pbs_throughput: 512 cts, chunked) — best sustained PBS/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core import keyswitch_then_pbs
+    from tfhe_tpu.params import (PARAM_MESSAGE_2_CARRY_2_KS_PBS,
+                                 PARAM_MESSAGE_2_CARRY_2_TEST)
+
+    params = PARAM_MESSAGE_2_CARRY_2_KS_PBS if real         else PARAM_MESSAGE_2_CARRY_2_TEST
+    cks, sks = shortint.gen_keys(params, seed=2, cache_dir=".keycache")
+    lut = sks.generate_lookup_table(lambda x: (3 * x) % 4)
+    fn = jax.jit(keyswitch_then_pbs)
+    best = 0.0
+    best_batch = 0
+    for batch in ((128, 256) if real else (64,)):
+        ct = cks.encrypt_batch(np.arange(batch) % 4)
+        data = jnp.asarray(ct.data)
+        dt = _time(lambda: jax.block_until_ready(
+            fn(sks.ksk, sks.bsk, lut.acc, data)))
+        if batch / dt > best:
+            best, best_batch = batch / dt, batch
+    _record(f"pbs_throughput::{params.name}", best, "PBS/s",
+            batch=best_batch, baseline_rate=1000.0 / 16.6)
 
 
 def main():
     real = bool(os.environ.get("BENCH_REAL"))
-    for b in (bench_boolean, bench_shortint, bench_integer, bench_strings):
+    for b in (bench_boolean, bench_shortint, bench_integer,
+              bench_strings, bench_keygen, bench_pbs_throughput):
         try:
             b(real)
         except Exception as e:  # keep the suite running

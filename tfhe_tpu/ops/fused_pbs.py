@@ -518,10 +518,18 @@ def _host_tables_stacked(cfg: FusedConfig):
     return tuple(tabs), tuple(consts)
 
 
-@functools.lru_cache(maxsize=None)
+_STACKED_DEVICE_CACHE: dict = {}
+
+
 def build_tables_stacked(cfg: FusedConfig):
     """Device arrays for the grid kernel: per-group stacked tables (DFT limb
-    planes as bf16) + SMEM constant rows."""
+    planes as bf16) + SMEM constant rows.
+
+    Hand-memoized (not lru_cache): this runs at trace time inside jitted
+    PBS programs, where jnp.asarray yields tracers that must not be cached
+    across traces (see ntt.dft_matrices_device)."""
+    if cfg in _STACKED_DEVICE_CACHE:
+        return _STACKED_DEVICE_CACHE[cfg]
     tabs_np, consts_np = _host_tables_stacked(cfg)
     tabs = tuple(
         tuple(
@@ -530,6 +538,9 @@ def build_tables_stacked(cfg: FusedConfig):
             for k in _TABLE_KEYS)
         for t in tabs_np)
     consts = tuple(jnp.asarray(c) for c in consts_np)
+    from jax._src import core as _jcore
+    if not isinstance(consts[0], _jcore.Tracer):
+        _STACKED_DEVICE_CACHE[cfg] = (tabs, consts)
     return tabs, consts
 
 

@@ -221,7 +221,9 @@ def _four_step_tables_host(N: int):
     return tuple(fwd), tuple(inv)
 
 
-@functools.lru_cache(maxsize=None)
+_DFT_DEVICE_CACHE: dict = {}
+
+
 def dft_matrices_device(N: int):
     """Per-prime (fwd, inv) four-step NTT table pytrees on device.
 
@@ -229,11 +231,23 @@ def dft_matrices_device(N: int):
     W2_limbs [C,C,nl]); inverse entries are (W2i_limbs, Ti, Ti_shoup,
     W1i_limbs).  Total size is O(sqrt(N) * N) bytes — small enough to embed
     as jit constants (the former dense [N,N] matrices were ~200MB at
-    N=2048 and had to be threaded through pytrees)."""
+    N=2048 and had to be threaded through pytrees).
+
+    Memoized by hand instead of lru_cache: when the first call for a given N
+    happens inside a jit trace, jnp.asarray yields tracers, and caching those
+    would leak them into later calls (UnexpectedTracerError).  Concrete
+    arrays are cached; tracer results are returned uncached (they embed as
+    constants of the program being traced)."""
+    if N in _DFT_DEVICE_CACHE:
+        return _DFT_DEVICE_CACHE[N]
     fwd_h, inv_h = _four_step_tables_host(N)
     to_dev = lambda tabs: tuple(
         tuple(jnp.asarray(a) for a in entry) for entry in tabs)
-    return to_dev(fwd_h), to_dev(inv_h)
+    out = (to_dev(fwd_h), to_dev(inv_h))
+    from jax._src import core as _jcore
+    if not isinstance(out[0][0][0], _jcore.Tracer):
+        _DFT_DEVICE_CACHE[N] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
