@@ -548,6 +548,12 @@ def build_tables_stacked(cfg: FusedConfig):
 # the kernel
 # ---------------------------------------------------------------------------
 
+# Profiling-only ablation switches (see profile_step_ablation.py): when a
+# stage name is in ABLATE, the traced step replaces that stage with a cheap
+# shape-preserving stand-in so subtractive timing can attribute per-step cost.
+# Empty in production; never set outside the profiler.
+ABLATE: frozenset = frozenset()
+
 
 def _forward_prime(X8, tabs, idx: int, cfg: FusedConfig, Bb: int):
     """X8 [(R*ld), C*B] digit limbs -> spectrum [K2, K1*B] balanced."""
@@ -603,18 +609,24 @@ def _rot_dec_limbs(cfg: FusedConfig, acc, abit, Bb: int):
             ext = jnp.where(((ab2 >> t) & 1) == 1, rolled, ext)
         return ext
 
-    rot_g = []
-    for g in range(G):
-        if cfg.bits == 64:
-            lo, hi = acc[g, 0], acc[g, 1]         # [N, Bb]
-            nlo, nhi = _u64_neg(lo, hi)
-            elo = _rot2d(jnp.concatenate([lo, nlo], axis=0))
-            ehi = _rot2d(jnp.concatenate([hi, nhi], axis=0))
-            rot_g.append((elo[:N], ehi[:N]))
-        else:
-            lo = acc[g, 0]
-            elo = _rot2d(jnp.concatenate([lo, -lo], axis=0))
-            rot_g.append((elo[:N], None))
+    if "rot" in ABLATE:
+        # profiling stand-in: skip the barrel chains, keep a data dependency
+        rot_g = [(acc[g, 0] + ab2.astype(jnp.int32),
+                  (acc[g, 1] if cfg.bits == 64 else None))
+                 for g in range(G)]
+    else:
+        rot_g = []
+        for g in range(G):
+            if cfg.bits == 64:
+                lo, hi = acc[g, 0], acc[g, 1]         # [N, Bb]
+                nlo, nhi = _u64_neg(lo, hi)
+                elo = _rot2d(jnp.concatenate([lo, nlo], axis=0))
+                ehi = _rot2d(jnp.concatenate([hi, nhi], axis=0))
+                rot_g.append((elo[:N], ehi[:N]))
+            else:
+                lo = acc[g, 0]
+                elo = _rot2d(jnp.concatenate([lo, -lo], axis=0))
+                rot_g.append((elo[:N], None))
 
     if cfg.bits == 64:
         subs = [_u64_sub(rot_g[g][0], rot_g[g][1], acc[g, 0], acc[g, 1])
@@ -858,23 +870,41 @@ def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
             kh = kh_at(np.int32(offset) + gip)     # [N, LJ*OM] int32
             kl = kl_at(np.int32(offset) + gip)
 
-            spec = [
-                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
-                                 p, inv, cfg, Bb)
-                for lj in range(LJ)
-            ]
+            if "fwd" in ABLATE:
+                spec = [X8[lj].astype(jnp.int32)
+                        .reshape(R, cfg.ld, C * Bb)
+                        .sum(axis=1, dtype=jnp.int32)
+                        .reshape(N, Bb) for lj in range(LJ)]
+            else:
+                spec = [
+                    _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                     p, inv, cfg, Bb)
+                    for lj in range(LJ)
+                ]
             for o in range(G):
                 for m in range(M):
                     om = o * M + m
-                    sacc = jnp.zeros((N, Bb), jnp.int32)
-                    for lj in range(LJ):
-                        col = lj * OM + om
-                        t1 = _fold_t(spec[lj] * kh[:, col:col + 1], p, inv)
-                        sacc = sacc + _fold_t(
-                            t1 * 256 + spec[lj] * kl[:, col:col + 1], p, inv)
-                    macc = _fold_t(sacc, p, inv).reshape(C, R * Bb)
-                    chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
-                                            nl, nlx, p, inv, cfg, Bb)
+                    if "mac" in ABLATE:
+                        macc = _fold_t(spec[om % LJ] + kh[:, :1] + kl[:, :1],
+                                       p, inv).reshape(C, R * Bb)
+                    else:
+                        sacc = jnp.zeros((N, Bb), jnp.int32)
+                        for lj in range(LJ):
+                            col = lj * OM + om
+                            t1 = _fold_t(spec[lj] * kh[:, col:col + 1], p,
+                                         inv)
+                            sacc = sacc + _fold_t(
+                                t1 * 256 + spec[lj] * kl[:, col:col + 1],
+                                p, inv)
+                        macc = _fold_t(sacc, p, inv).reshape(C, R * Bb)
+                    if "inv" in ABLATE:
+                        chat = macc.reshape(N, Bb)
+                    else:
+                        chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
+                                                nl, nlx, p, inv, cfg, Bb)
+                    if "crt" in ABLATE:
+                        lo_s = _tset(lo_s, o, lo_s[o] + chat)
+                        continue
                     af = _tset(af, om,
                                af[om] + chat.astype(jnp.float32) * inv)
                     if cfg.bits == 64:
@@ -902,6 +932,12 @@ def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
             length=len(idx))
         offset += len(idx)
 
+    if "crt" in ABLATE:
+        if cfg.bits == 64:
+            return jnp.stack(
+                [jnp.stack([lo_s[o], hi_s[o]], axis=0) for o in range(G)],
+                axis=0)
+        return jnp.stack([lo_s[o][None] for o in range(G)], axis=0)
     lo_fin, hi_fin = [], []
     for o in range(G):
         lo_o = lo_s[o]
