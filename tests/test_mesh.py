@@ -16,7 +16,8 @@ from tfhe_tpu.core import keyswitch_then_pbs
 from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_TEST as P
 
 
-pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+# construction + sharded-PBS smoke run in the fast tier so the default
+# suite always exercises the mesh; the heavier fused-op matrices stay slow
 
 @pytest.fixture(scope="module")
 def keys():
@@ -52,6 +53,7 @@ def test_sharded_pbs_matches_unsharded(keys):
         cks.decrypt_batch(sharded), (msgs * 3 + 2) % 4)
 
 
+@pytest.mark.slow
 def test_sharded_radix_add(keys):
     cks, sks = keys
     mesh = parallel.create_mesh()
@@ -77,6 +79,7 @@ def test_sharded_radix_add(keys):
         assert got == (int(x) + int(y)) % 256, (x, y, got)
 
 
+@pytest.mark.slow
 def test_sharded_radix_mul(keys):
     """Fused radix mul on the mesh: decrypts to clear product AND is
     bit-identical to the same program run unsharded (exact NTT backend)."""
@@ -127,6 +130,7 @@ def test_sharded_radix_mul(keys):
     np.testing.assert_array_equal(np.asarray(out), plain)
 
 
+@pytest.mark.slow
 def test_sharded_strings_contains(keys):
     """Fused strings contains on the mesh vs Python `in` over a batch."""
     cks, sks = keys

@@ -25,7 +25,7 @@ REL_TOL = 1.0 / 16.0  # (ref: lwe_encryption_noise.rs relative tolerance)
 N_SAMPLES = 4000
 
 
-pytestmark = pytest.mark.slow  # matrix suite: run via `pytest -m slow`
+# fast tier since the native AES backend: the full suite runs in ~2.5 s
 
 def _signed(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).astype(np.float64)
