@@ -23,17 +23,25 @@ import numpy as np
 from tfhe_tpu.ops import fused_pbs
 
 B = int(os.environ.get("PROF_B", 128))
-NSTEPS = int(os.environ.get("PROF_STEPS", 742))
 N, G, L, BL, BITS = 2048, 2, 1, 23, 64
 
-cfg = fused_pbs.make_config(N, G, L, BL, BITS)
+# Use the REAL prepared key: random host arrays carry the default layout,
+# while the jitted prep's khi/klo get an XLA-chosen (physically W-major)
+# layout the kernel expects — feeding default-layout keys measured 24x
+# slower (layout conversion dominating), which invalidated the first
+# ablation run.
+from tfhe_tpu import shortint
+from tfhe_tpu.params import PARAM_MESSAGE_2_CARRY_2_KS_PBS as PP
+
+_, _sks = shortint.gen_keys(PP, seed=99, cache_dir=".keycache")
+cfg = _sks.bsk.cfg
+khi, klo = _sks.bsk.khi, _sks.bsk.klo
+NSTEPS = khi.shape[0]
 P = len(cfg.primes)
 LJ, OM = L * G, G * cfg.planes
 W = LJ * OM
 
 rng = np.random.default_rng(0)
-khi = jnp.asarray(rng.integers(-60, 60, (NSTEPS, P, N, W)), jnp.int16)
-klo = jnp.asarray(rng.integers(-128, 128, (NSTEPS, P, N, W)), jnp.int8)
 ahat = jnp.asarray(rng.integers(0, 2 * N, (NSTEPS, B)), jnp.int32)
 acc0 = jnp.asarray(rng.integers(-2**30, 2**30, (G, cfg.planes, N, B)),
                    jnp.int32)
