@@ -116,8 +116,20 @@ def make_config(N: int, glwe_size: int, levels: int, base_log: int,
         while p // 2 + p // 512 >= (1 << _limb_cover_bits(n_)):
             n_ += 1
         nlx.append(n_)
-    # MAC fold bound: per-lj balanced products summed then folded via f32
-    assert LJ * (max(plist) // 2 + 1) < (1 << 23), "MAC sum exceeds f32 fold"
+    # MAC fold bounds (sum-before-fold): folding an input of magnitude X
+    # yields a representative within p/2 + X*2^-22.4 of zero (three f32
+    # roundings in q = round(f32(X) * f32(1/p))), and the mod-p class is
+    # exact.  The drift must stay inside the per-prime limb-cover margin
+    # p//512, i.e. X < (p//512) << 22 (with the 2^-0.4 safety), and X must
+    # fit int32.  Checked for the hi partial-product sum
+    # |sum_lj spec*khi| <= LJ*(p/2)*(p/512+128) and the lo combine
+    # |t1*256 + sum_lj spec*klo| <= (p/2+p//512)*256 + LJ*(p/2)*128.
+    for p in plist:
+        cap = min((p // 512) << 22, 1 << 30)
+        x_hi = LJ * (p // 2) * (p // 512 + 128)
+        x_lo = (p // 2 + p // 512) * 256 + LJ * (p // 2) * 128
+        assert x_hi < cap, "MAC hi partial-product sum exceeds fold bound"
+        assert x_lo < cap, "MAC lo combine exceeds fold bound"
     # bf16 matmul exactness: every _dot8 contraction (K in {R*ld, C*nlx,
     # R*nlx}) sums K terms of |a*b| <= 128*128 in an f32 accumulator,
     # which is exact only while the partial sums stay under 2^24
@@ -671,13 +683,15 @@ def _prime_block(cfg: FusedConfig, tab_ip, ip: int, X8, khi_p, klo_p,
     for o in range(G):
         for m in range(M):
             om = o * M + m
-            sacc = jnp.zeros((N, Bb), jnp.int32)
+            # see _primes_crt_math: sum partial products before folding
+            hi_sum = jnp.zeros((N, Bb), jnp.int32)
+            lo_sum = jnp.zeros((N, Bb), jnp.int32)
             for lj in range(LJ):
                 col = lj * OM + om
-                t1 = _fold(spec[lj] * khi_t[:, col:col + 1], p)
-                sacc = sacc + _fold(
-                    t1 * 256 + spec[lj] * klo_t[:, col:col + 1], p)
-            macc = _fold(sacc, p).reshape(C, R * Bb)
+                hi_sum = hi_sum + spec[lj] * khi_t[:, col:col + 1]
+                lo_sum = lo_sum + spec[lj] * klo_t[:, col:col + 1]
+            t1 = _fold(hi_sum, p)
+            macc = _fold(t1 * 256 + lo_sum, p).reshape(C, R * Bb)
             chats.append(_inverse_prime(macc, tabs, ip, cfg, Bb))
     return jnp.stack(chats, axis=0)               # [OM, N, Bb]
 
@@ -888,15 +902,22 @@ def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
                         macc = _fold_t(spec[om % LJ] + kh[:, :1] + kl[:, :1],
                                        p, inv).reshape(C, R * Bb)
                     else:
-                        sacc = jnp.zeros((N, Bb), jnp.int32)
+                        # sum the hi/lo partial products over lj BEFORE
+                        # folding: |sum spec*khi| <= LJ*(p/2)*(p/512+128)
+                        # and |t1*256 + sum spec*klo| <= (p/2)*256 +
+                        # LJ*(p/2)*128 both fit int32 for every catalog
+                        # prime (asserted in make_config); the single final
+                        # fold yields the same balanced representative as
+                        # the per-term chain (2 folds/om instead of 2LJ+1)
+                        hi_sum = jnp.zeros((N, Bb), jnp.int32)
+                        lo_sum = jnp.zeros((N, Bb), jnp.int32)
                         for lj in range(LJ):
                             col = lj * OM + om
-                            t1 = _fold_t(spec[lj] * kh[:, col:col + 1], p,
-                                         inv)
-                            sacc = sacc + _fold_t(
-                                t1 * 256 + spec[lj] * kl[:, col:col + 1],
-                                p, inv)
-                        macc = _fold_t(sacc, p, inv).reshape(C, R * Bb)
+                            hi_sum = hi_sum + spec[lj] * kh[:, col:col + 1]
+                            lo_sum = lo_sum + spec[lj] * kl[:, col:col + 1]
+                        t1 = _fold_t(hi_sum, p, inv)
+                        macc = _fold_t(t1 * 256 + lo_sum,
+                                       p, inv).reshape(C, R * Bb)
                     if "inv" in ABLATE:
                         chat = macc.reshape(N, Bb)
                     else:
