@@ -1050,6 +1050,66 @@ def fused_blind_rotate_scan2(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
     return out
 
 
+def fused_blind_rotate_scan1(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
+    """ONE kernel per lax.scan step: rotation/decompose + prime-group
+    fori-loops + streaming CRT in the same body.  Saves a launch and the X8
+    HBM round-trip (plus one 8MB accumulator re-read) per step vs scan2.
+    Distinct from the grid mode: the accumulator still round-trips HBM
+    between scan steps, so the kernel body is the only difference — the
+    grid variant's acc-resident body is what hangs the Mosaic compiler."""
+    import sys
+
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    P, LJ, OM = len(cfg.primes), cfg.levels * cfg.glwe_size, G * M
+    W = LJ * OM
+    nG = len(prime_groups(cfg))
+    tabs, consts = build_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    n_tab = 8 * nG
+
+    def step_kernel(*refs):
+        a_ref, kh_ref, kl_ref, acc_ref = refs[:4]
+        tab_refs = [tuple(refs[4 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[4 + n_tab + g] for g in range(nG)]
+        out_ref = refs[4 + n_tab + nG]
+        abit = a_ref[...].reshape(1, 1, 1, B)
+        x8 = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
+
+        def kh_at(ip):
+            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        def kl_at(ip):
+            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        out_ref[...] = _primes_crt_math(
+            cfg, tab_refs, consts_refs, kh_at, kl_at, x8, acc_ref[...], B)
+
+    call = pl.pallas_call(
+        step_kernel,
+        in_specs=[vm] * 4 + [vm] * n_tab + [sm] * nG,
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+
+    def step(acc, xs):
+        a_row, kh, kl = xs                      # kh/kl [P, N, W]
+        return call(a_row[None], kh, kl, acc, *tabs_flat, *consts), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (ahat, khi, klo))
+    return out
+
+
 def fused_blind_rotate_grid(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
     """Blind rotation as ONE pallas kernel with grid=(batch blocks, steps):
     the accumulator lives in VMEM scratch across steps, primes run in
@@ -1275,6 +1335,8 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
         mode = "mega"
     if mode == "grid":
         return fused_blind_rotate_grid(cfg, khi, klo, ahat, acc0_planes)
+    if mode == "scan1":
+        return fused_blind_rotate_scan1(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan2":
         return fused_blind_rotate_scan2(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan3":
