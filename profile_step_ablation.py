@@ -15,6 +15,8 @@ import time
 from tfhe_tpu.utils import enable_persistent_cache
 
 enable_persistent_cache()
+# opt in to ablation stand-ins (fused_pbs refuses ABLATE without this)
+os.environ["TFHE_TPU_ABLATE_OK"] = "1"
 
 import jax
 import jax.numpy as jnp

@@ -22,10 +22,14 @@ from tfhe_tpu.prng.sampling import gaussian_noise_torus
 from tfhe_tpu.prng.stream import AesCtrStream, Seeder
 
 REL_TOL = 1.0 / 16.0  # (ref: lwe_encryption_noise.rs relative tolerance)
-N_SAMPLES = 4000
 
+# fast tier since the native AES backend (full suite ~2.5 s); hosts where
+# the native lib cannot build fall back to the ~175x slower numpy AES, so
+# downsample there to keep the default tier quick (variance tolerance
+# scales as 1/sqrt(n) — the 1/16 rel-tol still holds at 1000 samples)
+from tfhe_tpu.prng.aes import native_backend_available
 
-# fast tier since the native AES backend: the full suite runs in ~2.5 s
+N_SAMPLES = 4000 if native_backend_available() else 1000
 
 def _signed(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).astype(np.float64)

@@ -48,6 +48,7 @@ from .multibit import (
     multi_bit_pbs_then_keyswitch,
     multi_bit_programmable_bootstrap,
     prepare_multi_bit_bsk_ntt,
+    prepare_multi_bit_bsk_auto,
 )
 from .keyswitch import keyswitch
 from .pbs import (
@@ -96,6 +97,7 @@ __all__ = [
     "PreparedMultiBitBskNtt",
     "generate_multi_bit_bootstrap_key",
     "prepare_multi_bit_bsk_ntt",
+    "prepare_multi_bit_bsk_auto",
     "multi_bit_programmable_bootstrap",
     "keyswitch_then_multi_bit_pbs",
     "multi_bit_pbs_then_keyswitch",

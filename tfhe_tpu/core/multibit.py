@@ -195,13 +195,37 @@ def _selection_matrix(gf: int) -> np.ndarray:
     )
 
 
-def multi_bit_blind_rotate(mbsk: PreparedMultiBitBskNtt, lut, lwe):
+def prepare_multi_bit_bsk_auto(mbsk: np.ndarray, base_log: int,
+                               grouping_factor: int, bits: int = 64):
+    """Pick the multi-bit BSK representation for the current backend: the
+    fused Pallas layout on TPU, the jnp CRT-NTT layout elsewhere.  Both
+    produce bit-identical blind rotations; TFHE_TPU_FUSED=0 forces jnp."""
+    import os
+
+    use_fused = (jax.default_backend() == "tpu"
+                 and os.environ.get("TFHE_TPU_FUSED", "1") != "0")
+    if use_fused:
+        from ..ops.fused_multibit import prepare_multi_bit_bsk_fused
+
+        return prepare_multi_bit_bsk_fused(mbsk, base_log, grouping_factor,
+                                           bits=bits)
+    return prepare_multi_bit_bsk_ntt(mbsk, base_log, grouping_factor,
+                                     bits=bits)
+
+
+def multi_bit_blind_rotate(mbsk, lut, lwe):
     """lut [B, G, N] or [G, N]; lwe [B, n+1] -> acc [B, G, N].
 
     lax.scan over n/gf groups; each step combines the group's GGSW spectra
     with monomial-spectrum gathers and replaces the accumulator by the
     external product (ref: lwe_multi_bit_programmable_bootstrapping.rs
-    multi_bit_blind_rotate_assign)."""
+    multi_bit_blind_rotate_assign).  Dispatches to the fused Pallas kernel
+    when handed a PreparedMultiBitBskFused."""
+    from ..ops.fused_multibit import (PreparedMultiBitBskFused,
+                                      multi_bit_blind_rotate_fused)
+
+    if isinstance(mbsk, PreparedMultiBitBskFused):
+        return multi_bit_blind_rotate_fused(mbsk, lut, lwe)
     bits = mbsk.bits
     dt = jnp.uint64 if bits == 64 else jnp.uint32
     N = mbsk.polynomial_size

@@ -1,0 +1,570 @@
+"""Fused multi-bit blind rotation: the grouped PBS hot loop in VMEM.
+
+Multi-bit analog of ops/fused_pbs.py (ref: core_crypto/algorithms/
+lwe_multi_bit_programmable_bootstrapping.rs:295-460 blind rotation,
+:18-84 prepare_multi_bit_ggsw): per group of gf secret bits the combined
+GGSW  G = GGSW_0 + sum_{j>=1} GGSW_j * X^{switch(<a_S, 1>)}  replaces the
+accumulator by the external product G (x) acc, in n/gf scan steps.
+
+TPU formulation (one Pallas kernel per step):
+
+- The 2^gf subset GGSWs are NTT-transformed ONCE at key prep (same
+  khi/klo split layout as the classic fused key); no key-side transform
+  ever runs on the hot path (the reference FFTs the combined GGSW every
+  step and hides it with a thread pool).
+- The combination happens in the spectrum domain.  The spectrum of X^d at
+  stored position q is psi^(d * (2*knat[q] + 1)), so each per-lane
+  monomial spectrum is a product over the bits of d of STATIC psi-power
+  vectors (Shoup-multiplied select chains — no gathers, which Mosaic
+  does not support).  Composite subsets factor as products of singleton
+  monomials times an epsilon correction in {-1, 0, +1} that accounts for
+  the modulus-switch rounding of sums vs sums of roundings
+  (switch(a+b) - switch(a) - switch(b) is in {-1,0,1} for the
+  round-half-up switch); epsilon is computed exactly at trace level and
+  applied from two static psi^(+-(2k+1)) tables.
+- The combined key folds to balanced residues, splits into 8-bit hi/lo
+  pieces in-kernel, and feeds the same sum-before-fold MAC as the classic
+  kernel; the inverse NTT runs once per prime with all OM outputs
+  lane-batched; the streaming explicit CRT starts from ZERO planes (the
+  external product REPLACES the accumulator: G encrypts a unit monomial).
+
+All arithmetic is exact; the result is bit-identical to the jnp path in
+core/multibit.py (asserted in tests/test_fused_multibit.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ntt
+from .fused_pbs import (
+    FusedConfig,
+    make_config,
+    prime_groups,
+    build_tables_stacked,
+    _bal,
+    _decompose_planes,
+    _limb_rows,
+    _forward_prime_t,
+    _dot8,
+    _fold_t,
+    _shoup_t,
+    _horner_t,
+    _ds0,
+    _mulacc_c_k64_t,
+    _low32_mul_t,
+    _mulacc_c16_k64,
+    _low32_mul,
+    _prepare_bsk_fused_device,
+    _to_planes,
+    _from_planes,
+)
+
+
+def _mb_factor(j: int):
+    """Composite subset j -> (ja, jb) with jb the lowest set bit; the
+    trace-level epsilon and the kernel monomial assembly must agree on
+    this factorization."""
+    jb = j & (-j)
+    return j ^ jb, jb
+
+
+def _composites(per: int):
+    """Subset indices with >= 2 members, dependency-ordered (every ja of a
+    composite appears earlier or is a singleton)."""
+    return sorted((j for j in range(per) if bin(j).count("1") >= 2),
+                  key=lambda j: (bin(j).count("1"), j))
+
+
+# ---------------------------------------------------------------------------
+# monomial-spectrum tables
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _host_mon_tables(cfg: FusedConfig):
+    """Per-prime-group stacked psi-power tables for in-kernel monomial
+    spectra: psi2t[t][q] = psi^(2^t * (2*knat_f[q]+1) mod 2N) balanced,
+    plus the epsilon vectors psi^(+-(2k+1)) — each with Shoup companions.
+    knat_f is the natural DFT index at each FUSED spectrum position
+    (k2-major reorder of ntt.spectrum_natural_k)."""
+    N, R, C = cfg.N, cfg.R, cfg.C
+    nbits = (2 * N).bit_length() - 1
+    knat = ntt.spectrum_natural_k(N).reshape(R, C).T.reshape(-1)
+    tk = (2 * knat.astype(np.int64) + 1) % (2 * N)
+    out = []
+    for nl, nlx, idx in prime_groups(cfg):
+        rows = {k: [] for k in ("psi2t", "psi2tsh", "epsP", "epsPsh",
+                                "epsM", "epsMsh")}
+        for i in idx:
+            p = cfg.primes[i]
+            g = ntt._find_generator(p)
+            psi = ntt._pow_mod(g, (p - 1) // (2 * N), p)
+            psi_t = np.array([ntt._pow_mod(psi, t, p) for t in range(2 * N)],
+                             dtype=np.int64)
+
+            def vec(e):
+                v = _bal(psi_t[(e * tk) % (2 * N)], p).astype(np.int32)
+                return v, ntt.shoup_precompute_host(v, p).astype(np.int32)
+
+            p2, p2s = zip(*[vec(1 << t) for t in range(nbits)])
+            eP, ePs = vec(1)
+            eM, eMs = vec(2 * N - 1)
+            rows["psi2t"].append(np.stack(p2))
+            rows["psi2tsh"].append(np.stack(p2s))
+            rows["epsP"].append(eP)
+            rows["epsPsh"].append(ePs)
+            rows["epsM"].append(eM)
+            rows["epsMsh"].append(eMs)
+        out.append({k: np.stack(v) for k, v in rows.items()})
+    return tuple(out)
+
+
+_MON_KEYS = ("psi2t", "psi2tsh", "epsP", "epsPsh", "epsM", "epsMsh")
+_MON_DEVICE_CACHE: dict = {}
+
+
+def build_mon_tables_stacked(cfg: FusedConfig):
+    if cfg in _MON_DEVICE_CACHE:
+        return _MON_DEVICE_CACHE[cfg]
+    host = _host_mon_tables(cfg)
+    tabs = tuple(
+        tuple(jnp.asarray(t[k]) for k in _MON_KEYS) for t in host)
+    if not isinstance(tabs[0][0], jax.core.Tracer):
+        _MON_DEVICE_CACHE[cfg] = tabs
+    return tabs
+
+
+def _check_mb_bounds(cfg: FusedConfig, gf: int):
+    """int32/fold-margin safety for the in-kernel combine (see the MAC
+    bound comment in fused_pbs.make_config for the fold drift model:
+    folding |X| leaves a representative within p/2 + X*2^-22.4)."""
+    per = 1 << gf
+    LJ = cfg.levels * cfg.glwe_size
+    for p in cfg.primes:
+        cap = min((p // 512) << 22, 1 << 30)
+        drift = ((p // 2) * (p // 2)) >> 22  # conservative mulmod drift
+        m_mag = p // 2 + drift + 4           # composite mon magnitude
+        assert m_mag * m_mag < 1 << 31, "mon product overflows int32"
+        mhi = (m_mag + 128) // 256 + 1
+        heff = (per - 1) * mhi * (p // 2)
+        leff = (per - 1) * 128 * (p // 2)
+        assert heff < cap, "multi-bit combine hi sum exceeds fold bound"
+        t1 = p // 2 + (heff >> 22) + 1
+        lo_comb = t1 * 256 + leff + p // 2
+        assert lo_comb < cap, "multi-bit combine lo sum exceeds fold bound"
+        keff = p // 2 + (lo_comb >> 22) + 1
+        khie = (keff + 128) // 256 + 1
+        smag = p // 2 + p // 512
+        assert LJ * smag * khie < cap, "multi-bit MAC hi sum exceeds bound"
+        assert smag * 256 + LJ * smag * 128 < cap
+
+
+# ---------------------------------------------------------------------------
+# prepared key
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PreparedMultiBitBskFused:
+    """Subset-GGSW spectra in fused-kernel order.
+
+    khi/klo: [n_groups, 2^gf, P, N, LJ*OM] int16/int8 hi/lo bytes of the
+    balanced per-prime subset-key spectra (same per-entry layout as
+    PreparedBskFused; ref: lwe_multi_bit_bootstrap_key_generation.rs on
+    the key contents)."""
+
+    khi: Any
+    klo: Any
+    cfg: FusedConfig
+    base_log: int
+    levels: int
+    glwe_size: int
+    polynomial_size: int
+    input_dim: int
+    grouping_factor: int
+    bits: int = 64
+
+
+jax.tree_util.register_pytree_node(
+    PreparedMultiBitBskFused,
+    lambda b: ((b.khi, b.klo),
+               (b.cfg, b.base_log, b.levels, b.glwe_size, b.polynomial_size,
+                b.input_dim, b.grouping_factor, b.bits)),
+    lambda meta, data: PreparedMultiBitBskFused(data[0], data[1], *meta),
+)
+
+
+def prepare_multi_bit_bsk_fused(mbsk: np.ndarray, base_log: int,
+                                grouping_factor: int,
+                                bits: int = 64) -> PreparedMultiBitBskFused:
+    """Standard-domain multi-bit BSK [n_groups, 2^gf, L, J, O, N] uint ->
+    fused-kernel subset spectra (one-time transform; the reference's
+    per-step forward FFT never runs on the hot path)."""
+    n_groups, per, L, J, O, N = mbsk.shape
+    cfg = make_config(N, J, L, base_log, bits)
+    _check_mb_bounds(cfg, grouping_factor)
+    kh, kl = _prepare_bsk_fused_device(
+        jnp.asarray(mbsk.reshape(n_groups * per, L, J, O, N)), cfg)
+    P = len(cfg.primes)
+    W = kh.shape[-1]
+    return PreparedMultiBitBskFused(
+        khi=kh.reshape(n_groups, per, P, N, W),
+        klo=kl.reshape(n_groups, per, P, N, W),
+        cfg=cfg, base_log=base_log, levels=L, glwe_size=J,
+        polynomial_size=N, input_dim=n_groups * grouping_factor,
+        grouping_factor=grouping_factor, bits=bits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the per-step math
+# ---------------------------------------------------------------------------
+
+
+def _dec_limbs(cfg: FusedConfig, acc, Bb: int):
+    """Signed decompose of the accumulator planes + shared digit limbs
+    (multi-bit external product decomposes acc itself — no rotation)."""
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L = cfg.glwe_size, cfg.levels
+    dlo = jnp.stack([acc[g, 0] for g in range(G)], axis=0)
+    dhi = (jnp.stack([acc[g, 1] for g in range(G)], axis=0)
+           if cfg.bits == 64 else None)
+    digs = _decompose_planes(dlo, dhi, cfg)
+    X8s = []
+    for l in range(L):
+        for j in range(G):
+            d = digs[l][j]
+            X8s.append(_limb_rows(d.reshape(R, C * Bb), cfg.ld))
+    return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb]
+
+
+def _mb_primes_math(cfg: FusedConfig, gf: int, tab_refs, consts_refs,
+                    mon_refs, kat, d_sing, eps_row, X8, Bb: int):
+    """Per-step spectrum math: forward NTT, in-kernel monomial build,
+    key-side combine, sum-before-fold MAC, OM-wide inverse NTT, streaming
+    CRT from ZERO planes (the external product replaces the accumulator).
+
+    kat(j, ip) -> (khi, klo) int32 [N, W] subset-key slice.
+    d_sing [gf, B] switched singleton degrees; eps_row [per, B] in
+    {-1, 0, 1} (0 at singleton/empty positions)."""
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+    K1, K2 = R, C
+    per = 1 << gf
+    nbits = (2 * N).bit_length() - 1
+
+    lo_s = tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+    hi_s = (tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+            if cfg.bits == 64 else tuple())
+    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
+
+    def _tset(tup, i, v):
+        return tup[:i] + (v,) + tup[i + 1:]
+
+    offset = 0
+    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
+        (W1A8r, W2B8r, W2I8r, W1I8r,
+         TCr, TCshr, TICr, TICshr) = tab_refs[g]
+        (psi2tr, psi2tshr, epsPr, epsPshr, epsMr, epsMshr) = mon_refs[g]
+        cr = consts_refs[g]
+
+        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
+                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
+                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr,
+                 psi2tr=psi2tr, psi2tshr=psi2tshr, epsPr=epsPr,
+                 epsPshr=epsPshr, epsMr=epsMr, epsMshr=epsMshr):
+            lo_s, hi_s, af = carry
+            p = cr[gip, 0]
+            inv = np.float32(1.0) / p.astype(jnp.float32)
+            W1A8 = _ds0(W1A8r, gip)
+            W2B8 = _ds0(W2B8r, gip)
+            W2I8 = _ds0(W2I8r, gip)
+            W1I8 = _ds0(W1I8r, gip)
+            TC = _ds0(TCr, gip)
+            TCsh = _ds0(TCshr, gip)
+            TIC = _ds0(TICr, gip)
+            TICsh = _ds0(TICshr, gip)
+            psi2t = _ds0(psi2tr, gip)              # [nbits, N]
+            psi2tsh = _ds0(psi2tshr, gip)
+            epsP = _ds0(epsPr, gip)                # [N]
+            epsPsh = _ds0(epsPshr, gip)
+            epsM = _ds0(epsMr, gip)
+            epsMsh = _ds0(epsMshr, gip)
+            ip = np.int32(offset) + gip
+
+            spec = [
+                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                 p, inv, cfg, Bb)
+                for lj in range(LJ)
+            ]
+
+            # singleton monomial spectra from static psi-power chains
+            mons = {}
+            for i in range(gf):
+                jidx = 1 << (gf - 1 - i)
+                db = d_sing[i]                     # [B]
+                x = jnp.where((db & 1) == 1,
+                              psi2t[0][:, None], np.int32(1))
+                for t in range(1, nbits):
+                    xm = _shoup_t(x, psi2t[t][:, None],
+                                  psi2tsh[t][:, None], p)
+                    x = jnp.where(((db >> t) & 1) == 1, xm, x)
+                mons[jidx] = x                     # [N, B]
+            # composite subsets: product + epsilon rounding correction
+            for j in _composites(per):
+                ja, jb = _mb_factor(j)
+                t0 = _fold_t(mons[ja] * mons[jb], p, inv)
+                ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p)
+                em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p)
+                ej = eps_row[j]                    # [B]
+                mons[j] = jnp.where(
+                    ej == 1, ep, jnp.where(ej == -1, em, t0))
+
+            # key-side combine: K_eff = K_0 + sum_j mon_j * K_j, with the
+            # monomial split into 8-bit pieces so partial products sum in
+            # int32 before the two folds (bounds: _check_mb_bounds)
+            heff = jnp.zeros((N, LJ * OM, Bb), jnp.int32)
+            leff = jnp.zeros((N, LJ * OM, Bb), jnp.int32)
+            for j in range(1, per):
+                khj, klj = kat(j, ip)              # [N, W] int32
+                kj = khj * 256 + klj
+                m = mons[j]
+                mlo = ((m + 128) & 255) - 128
+                mhi = (m - mlo) >> 8
+                heff = heff + mhi[:, None, :] * kj[:, :, None]
+                leff = leff + mlo[:, None, :] * kj[:, :, None]
+            kh0, kl0 = kat(0, ip)
+            k0 = kh0 * 256 + kl0
+            t1 = _fold_t(heff, p, inv)
+            keff = _fold_t(t1 * 256 + leff + k0[:, :, None], p, inv)
+            kloe = ((keff + 128) & 255) - 128
+            khie = (keff - kloe) >> 8
+
+            # sum-before-fold MAC (full-array products; bounds as classic)
+            maccs = []
+            for om in range(OM):
+                hi_sum = jnp.zeros((N, Bb), jnp.int32)
+                lo_sum = jnp.zeros((N, Bb), jnp.int32)
+                for lj in range(LJ):
+                    col = lj * OM + om
+                    hi_sum = hi_sum + spec[lj] * khie[:, col, :]
+                    lo_sum = lo_sum + spec[lj] * kloe[:, col, :]
+                tm = _fold_t(hi_sum, p, inv)
+                maccs.append(_fold_t(tm * 256 + lo_sum, p, inv))
+            macc = jnp.concatenate(maccs, axis=1)  # [N, OM*B], om-major
+
+            # OM-wide inverse NTT (same shape dance as fused_pbs wide)
+            macc_w = macc.reshape(C, R * OM * Bb)
+            S8 = _limb_rows(macc_w, nlx)
+            U = _dot8(W2I8, S8)
+            u = _horner_t(U, nl, C, p, inv)
+            u3 = u.reshape(C, K1, OM * Bb)
+            u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
+            ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * OM * Bb)
+            U8 = _limb_rows(ut, nlx)
+            V = _dot8(W1I8, U8)
+            chatw = _horner_t(V, nl, R, p, inv)
+            chat_w = chatw.reshape(N, OM * Bb)
+
+            for o in range(G):
+                for m in range(M):
+                    om = o * M + m
+                    chat = chat_w[:, om * Bb:(om + 1) * Bb]
+                    af = _tset(af, om,
+                               af[om] + chat.astype(jnp.float32) * inv)
+                    if cfg.bits == 64:
+                        if m == 0:
+                            lo_o, hi_o = _mulacc_c_k64_t(
+                                lo_s[o], hi_s[o], chat,
+                                [cr[gip, 1 + t] for t in range(4)],
+                                [cr[gip, 5 + t] for t in range(4)])
+                            lo_s = _tset(lo_s, o, lo_o)
+                            hi_s = _tset(hi_s, o, hi_o)
+                        else:
+                            hi_s = _tset(hi_s, o, hi_s[o] + _low32_mul_t(
+                                chat, cr[gip, 9], cr[gip, 10]))
+                    else:
+                        lo_s = _tset(lo_s, o, lo_s[o] + _low32_mul_t(
+                            chat, cr[gip, 9], cr[gip, 10]))
+            return lo_s, hi_s, af
+
+        def scan_body(carry, _, body=body):
+            gip, state = carry
+            return (gip + np.int32(1), body(gip, state)), None
+
+        (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
+            scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
+            length=len(idx))
+        offset += len(idx)
+
+    lo_fin, hi_fin = [], []
+    for o in range(G):
+        lo_o = lo_s[o]
+        hi_o = hi_s[o] if cfg.bits == 64 else None
+        for m in range(M):
+            om = o * M + m
+            a0 = -jnp.round(af[om]).astype(jnp.int32)
+            if cfg.bits == 64:
+                if m == 0:
+                    lo_o, hi_o = _mulacc_c16_k64(lo_o, hi_o, a0, cfg.km64)
+                else:
+                    hi_o = hi_o + _low32_mul(a0, cfg.km32)
+            else:
+                lo_o = lo_o + _low32_mul(a0, cfg.km32)
+        lo_fin.append(lo_o)
+        hi_fin.append(hi_o)
+    if cfg.bits == 64:
+        return jnp.stack(
+            [jnp.stack([lo_fin[o], hi_fin[o]], axis=0) for o in range(G)],
+            axis=0)
+    return jnp.stack([lo_fin[o][None] for o in range(G)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the scan + entry points
+# ---------------------------------------------------------------------------
+
+
+def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
+                               d_sing, eps, acc0_planes):
+    """lax.scan over groups; one Pallas kernel per step.
+
+    khi/klo: [n_groups, per, P, N, W]; d_sing [n_groups, gf, B] int32;
+    eps [n_groups, per, B] int32; acc0_planes [G, M, N, B] int32.
+    """
+    import sys
+
+    n_groups = d_sing.shape[0]
+    B = d_sing.shape[-1]
+    per = 1 << gf
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    nG = len(prime_groups(cfg))
+    tabs, consts = build_tables_stacked(cfg)
+    montabs = build_mon_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    n_tab = 8 * nG
+    n_mon = 6 * nG
+
+    def step_kernel(*refs):
+        d_ref, e_ref, kh_ref, kl_ref, acc_ref = refs[:5]
+        tab_refs = [tuple(refs[5 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        mon_refs = [tuple(refs[5 + n_tab + 6 * g + j] for j in range(6))
+                    for g in range(nG)]
+        consts_refs = [refs[5 + n_tab + n_mon + g] for g in range(nG)]
+        out_ref = refs[5 + n_tab + n_mon + nG]
+        x8 = _dec_limbs(cfg, acc_ref[...], B)
+        d_sing_v = d_ref[...]                     # [gf, B]
+        eps_v = e_ref[...]                        # [per, B]
+
+        def kat(j, ip):
+            kh = kh_ref[j, pl.ds(ip, 1)][0].astype(jnp.int32)
+            kl = kl_ref[j, pl.ds(ip, 1)][0].astype(jnp.int32)
+            return kh, kl
+
+        out_ref[...] = _mb_primes_math(
+            cfg, gf, tab_refs, consts_refs, mon_refs, kat,
+            [d_sing_v[i] for i in range(gf)],
+            [eps_v[j] for j in range(per)], x8, B)
+
+    call = pl.pallas_call(
+        step_kernel,
+        in_specs=[vm] * 5 + [vm] * n_tab + [vm] * n_mon + [sm] * nG,
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+    mon_flat = [t for g_tabs in montabs for t in g_tabs]
+
+    def step(acc, xs):
+        d_row, e_row, kh, kl = xs
+        return call(d_row, e_row, kh, kl, acc,
+                    *tabs_flat, *mon_flat, *consts), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (d_sing, eps, khi, klo))
+    return out
+
+
+def multi_bit_blind_rotate_fused(prep: PreparedMultiBitBskFused, lut, lwe):
+    """lut [B, G, N] or [G, N] uint, lwe [B, n+1] uint -> [B, G, N] uint.
+
+    Bit-identical to core/multibit.py multi_bit_blind_rotate (ref:
+    lwe_multi_bit_programmable_bootstrapping.rs multi_bit_blind_rotate_
+    assign); the per-group loop runs in the fused Pallas kernel."""
+    from . import polymul
+    from ..core.pbs import modulus_switch
+
+    cfg = prep.cfg
+    gf = prep.grouping_factor
+    per = 1 << gf
+    bits, N = cfg.bits, cfg.N
+    dt = jnp.uint64 if bits == 64 else jnp.uint32
+    lwe = jnp.asarray(lwe, dt)
+    B0 = lwe.shape[0]
+    align = 128 if jax.default_backend() == "tpu" else 8
+    B = -(-B0 // align) * align
+    if B != B0:
+        lwe = jnp.concatenate(
+            [lwe, jnp.broadcast_to(lwe[:1], (B - B0,) + lwe.shape[1:])])
+    lut = jnp.asarray(lut, dt)
+    if lut.ndim == 2:
+        lut = jnp.broadcast_to(lut[None], (B,) + lut.shape)
+    elif lut.shape[0] != B:
+        lut = jnp.concatenate(
+            [lut, jnp.broadcast_to(lut[:1], (B - B0,) + lut.shape[1:])])
+
+    b_hat = modulus_switch(lwe[:, -1], N, bits=bits)
+    acc0 = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
+
+    n_groups = prep.input_dim // gf
+    # switched degrees of every subset sum: sum in the torus domain FIRST
+    # (wrapping), then modulus-switch — matching the reference's
+    # switch(<a_S, 1>) order of operations
+    mask_groups = jnp.transpose(
+        lwe[:, :-1].reshape(B, n_groups, gf), (1, 2, 0))   # [ng, gf, B]
+    sel = np.array(
+        [[(j >> (gf - 1 - i)) & 1 for i in range(gf)] for j in range(per)],
+        dtype=np.uint64)
+    sums = jnp.zeros((per, n_groups, B), dt)
+    for j in range(per):
+        s = jnp.zeros((n_groups, B), dt)
+        for i in range(gf):
+            if sel[j, i]:
+                s = s + mask_groups[:, i, :]
+        sums = sums.at[j].set(s)
+    d_all = modulus_switch(sums, N, bits=bits).astype(jnp.int32)
+    d_all = (d_all & np.int32(2 * N - 1))                  # [per, ng, B]
+    d_all = jnp.transpose(d_all, (1, 0, 2))                # [ng, per, B]
+
+    sing_idx = [1 << (gf - 1 - i) for i in range(gf)]
+    d_sing = d_all[:, jnp.asarray(sing_idx), :]            # [ng, gf, B]
+
+    eps = jnp.zeros((n_groups, per, B), jnp.int32)
+    for j in _composites(per):
+        ja, jb = _mb_factor(j)
+        e = (d_all[:, j] - d_all[:, ja] - d_all[:, jb]) % np.int32(2 * N)
+        e = jnp.where(e > np.int32(N), e - np.int32(2 * N), e)
+        eps = eps.at[:, j].set(e)
+
+    acc0_planes = _to_planes(acc0, bits)
+    out_planes = fused_multibit_rotate_scan(
+        cfg, gf, prep.khi, prep.klo, d_sing, eps, acc0_planes)
+    return _from_planes(out_planes, bits)[:B0]

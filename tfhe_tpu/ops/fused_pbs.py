@@ -121,13 +121,15 @@ def make_config(N: int, glwe_size: int, levels: int, base_log: int,
     # roundings in q = round(f32(X) * f32(1/p))), and the mod-p class is
     # exact.  The drift must stay inside the per-prime limb-cover margin
     # p//512, i.e. X < (p//512) << 22 (with the 2^-0.4 safety), and X must
-    # fit int32.  Checked for the hi partial-product sum
-    # |sum_lj spec*khi| <= LJ*(p/2)*(p/512+128) and the lo combine
-    # |t1*256 + sum_lj spec*klo| <= (p/2+p//512)*256 + LJ*(p/2)*128.
+    # fit int32.  The forward-NTT fold output (spec) can itself carry the
+    # p//512 drift, so the spec magnitude is p/2 + p//512 in both sums:
+    # |sum_lj spec*khi| <= LJ*(p/2+p//512)*(p/512+128) and the lo combine
+    # |t1*256 + sum_lj spec*klo| <= (p/2+p//512)*256 + LJ*(p/2+p//512)*128.
     for p in plist:
         cap = min((p // 512) << 22, 1 << 30)
-        x_hi = LJ * (p // 2) * (p // 512 + 128)
-        x_lo = (p // 2 + p // 512) * 256 + LJ * (p // 2) * 128
+        smag = p // 2 + p // 512
+        x_hi = LJ * smag * (p // 512 + 128)
+        x_lo = smag * 256 + LJ * smag * 128
         assert x_hi < cap, "MAC hi partial-product sum exceeds fold bound"
         assert x_lo < cap, "MAC lo combine exceeds fold bound"
     # bf16 matmul exactness: every _dot8 contraction (K in {R*ld, C*nlx,
@@ -550,8 +552,7 @@ def build_tables_stacked(cfg: FusedConfig):
             for k in _TABLE_KEYS)
         for t in tabs_np)
     consts = tuple(jnp.asarray(c) for c in consts_np)
-    from jax._src import core as _jcore
-    if not isinstance(consts[0], _jcore.Tracer):
+    if not isinstance(consts[0], jax.core.Tracer):
         _STACKED_DEVICE_CACHE[cfg] = (tabs, consts)
     return tabs, consts
 
@@ -807,6 +808,200 @@ def _step_math_onekernel(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
     X8 = _rot_dec_limbs(cfg, acc, abit, Bb)
     return _primes_crt_math(cfg, tab_refs, consts_refs, kh_at, kl_at, X8,
                             acc, Bb)
+
+
+def _primes_crt_math_wide(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
+                          kl_at, X8w, acc, Bb: int):
+    """OM-lane-batched variant of _primes_crt_math.
+
+    The MAC results for all OM outputs lane-concatenate into [N, OM*B] so
+    the inverse NTT runs ONCE per prime (OM in lanes) instead of OM times;
+    the per-om chat slices come back out as contiguous lane blocks.  Math
+    identical (exact integer ops throughout); only op granularity changes.
+    (A fully-wide variant that also lane-batched the forward NTT needs a
+    strided sublane slice to split per-lj spectra, which Mosaic lowers to
+    an unsupported gather; the 4D broadcast MAC hit an unsupported shape
+    cast — both measured round 4.)
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+    K1, K2 = R, C
+
+    lo_s = tuple(acc[o, 0] for o in range(G))
+    hi_s = (tuple(acc[o, 1] for o in range(G)) if cfg.bits == 64
+            else tuple())
+    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
+
+    def _tset(tup, i, v):
+        return tup[:i] + (v,) + tup[i + 1:]
+
+    offset = 0
+    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
+        (W1A8r, W2B8r, W2I8r, W1I8r,
+         TCr, TCshr, TICr, TICshr) = tab_refs[g]
+        cr = consts_refs[g]
+
+        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
+                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
+                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
+            lo_s, hi_s, af = carry
+            p = cr[gip, 0]
+            inv = np.float32(1.0) / p.astype(jnp.float32)
+            W1A8 = _ds0(W1A8r, gip)
+            W2B8 = _ds0(W2B8r, gip)
+            W2I8 = _ds0(W2I8r, gip)
+            W1I8 = _ds0(W1I8r, gip)
+            TC = _ds0(TCr, gip)
+            TCsh = _ds0(TCshr, gip)
+            TIC = _ds0(TICr, gip)
+            TICsh = _ds0(TICshr, gip)
+            kh = kh_at(np.int32(offset) + gip)     # [N, LJ*OM] int32
+            kl = kl_at(np.int32(offset) + gip)
+
+            # forward NTT per lj (a lane-batched variant needs a strided
+            # sublane slice to split the spectra back out, which Mosaic
+            # lowers to an unsupported gather — measured round 4)
+            spec = [
+                _forward_prime_t(X8w[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                 p, inv, cfg, Bb)
+                for lj in range(LJ)
+            ]
+
+            # MAC per om (proven column-slice pattern), lane-concat the OM
+            # results so ONE inverse NTT per prime covers all outputs
+            maccs = []
+            for om in range(OM):
+                hi_sum = jnp.zeros((N, Bb), jnp.int32)
+                lo_sum = jnp.zeros((N, Bb), jnp.int32)
+                for lj in range(LJ):
+                    col = lj * OM + om
+                    hi_sum = hi_sum + spec[lj] * kh[:, col:col + 1]
+                    lo_sum = lo_sum + spec[lj] * kl[:, col:col + 1]
+                t1 = _fold_t(hi_sum, p, inv)
+                maccs.append(_fold_t(t1 * 256 + lo_sum, p, inv))
+            macc = jnp.concatenate(maccs, axis=1)       # [N, OM*B]
+
+            # inverse NTT, all OM columns in lanes
+            macc_w = macc.reshape(C, R * OM * Bb)
+            S8 = _limb_rows(macc_w, nlx)
+            U = _dot8(W2I8, S8)
+            u = _horner_t(U, nl, C, p, inv)        # [C, R*OM*B]
+            u3 = u.reshape(C, K1, OM * Bb)
+            u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
+            ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * OM * Bb)
+            U8 = _limb_rows(ut, nlx)
+            V = _dot8(W1I8, U8)
+            chatw = _horner_t(V, nl, R, p, inv)    # [R, C*OM*B]
+            chat_w = chatw.reshape(N, OM * Bb)     # cols (om, b), om-major
+
+            for o in range(G):
+                for m in range(M):
+                    om = o * M + m
+                    chat = chat_w[:, om * Bb:(om + 1) * Bb]
+                    af = _tset(af, om,
+                               af[om] + chat.astype(jnp.float32) * inv)
+                    if cfg.bits == 64:
+                        if m == 0:
+                            lo_o, hi_o = _mulacc_c_k64_t(
+                                lo_s[o], hi_s[o], chat,
+                                [cr[gip, 1 + t] for t in range(4)],
+                                [cr[gip, 5 + t] for t in range(4)])
+                            lo_s = _tset(lo_s, o, lo_o)
+                            hi_s = _tset(hi_s, o, hi_o)
+                        else:
+                            hi_s = _tset(hi_s, o, hi_s[o] + _low32_mul_t(
+                                chat, cr[gip, 9], cr[gip, 10]))
+                    else:
+                        lo_s = _tset(lo_s, o, lo_s[o] + _low32_mul_t(
+                            chat, cr[gip, 9], cr[gip, 10]))
+            return lo_s, hi_s, af
+
+        def scan_body(carry, _, body=body):
+            gip, state = carry
+            return (gip + np.int32(1), body(gip, state)), None
+
+        (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
+            scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
+            length=len(idx))
+        offset += len(idx)
+
+    lo_fin, hi_fin = [], []
+    for o in range(G):
+        lo_o = lo_s[o]
+        hi_o = hi_s[o] if cfg.bits == 64 else None
+        for m in range(M):
+            om = o * M + m
+            a0 = -jnp.round(af[om]).astype(jnp.int32)
+            if cfg.bits == 64:
+                if m == 0:
+                    lo_o, hi_o = _mulacc_c16_k64(lo_o, hi_o, a0, cfg.km64)
+                else:
+                    hi_o = hi_o + _low32_mul(a0, cfg.km32)
+            else:
+                lo_o = lo_o + _low32_mul(a0, cfg.km32)
+        lo_fin.append(lo_o)
+        hi_fin.append(hi_o)
+    if cfg.bits == 64:
+        return jnp.stack(
+            [jnp.stack([lo_fin[o], hi_fin[o]], axis=0) for o in range(G)],
+            axis=0)
+    return jnp.stack([lo_fin[o][None] for o in range(G)], axis=0)
+
+
+def fused_blind_rotate_scan1w(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
+    """scan1 structure with the lane-batched (wide) step math: one kernel
+    per step, forward NTT batched over LJ lanes, MAC/inverse NTT batched
+    over OM lanes.  Bit-identical to the other modes."""
+    import sys
+
+    n_steps, B = ahat.shape
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    nG = len(prime_groups(cfg))
+    tabs, consts = build_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    n_tab = 8 * nG
+
+    def step_kernel(*refs):
+        a_ref, kh_ref, kl_ref, acc_ref = refs[:4]
+        tab_refs = [tuple(refs[4 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[4 + n_tab + g] for g in range(nG)]
+        out_ref = refs[4 + n_tab + nG]
+        abit = a_ref[...].reshape(1, 1, 1, B)
+        x8 = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
+
+        def kh_at(ip):
+            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        def kl_at(ip):
+            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        out_ref[...] = _primes_crt_math_wide(
+            cfg, tab_refs, consts_refs, kh_at, kl_at, x8, acc_ref[...], B)
+
+    call = pl.pallas_call(
+        step_kernel,
+        in_specs=[vm] * 4 + [vm] * n_tab + [sm] * nG,
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+
+    def step(acc, xs):
+        a_row, kh, kl = xs
+        return call(a_row[None], kh, kl, acc, *tabs_flat, *consts), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (ahat, khi, klo))
+    return out
 
 
 def _make_grid_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
@@ -1330,6 +1525,13 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
     """
     import os
 
+    # ABLATE is a profiling-only switch (profile_step_ablation.py); a trace
+    # taken while it is set would bake garbage-math stand-ins into cached
+    # executables, so refuse it outside an explicitly-opted-in profiler run.
+    assert not ABLATE or os.environ.get("TFHE_TPU_ABLATE_OK") == "1", (
+        "fused_pbs.ABLATE is set outside a profiling run "
+        "(set TFHE_TPU_ABLATE_OK=1 in the profiler)")
+
     mode = os.environ.get("TFHE_TPU_FUSED_MODE", "scan2")
     if os.environ.get("TFHE_TPU_MEGAKERNEL", "0") == "1":  # legacy switch
         mode = "mega"
@@ -1337,6 +1539,8 @@ def fused_blind_rotate_planes(cfg: FusedConfig, tables, khi, klo,
         return fused_blind_rotate_grid(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan1":
         return fused_blind_rotate_scan1(cfg, khi, klo, ahat, acc0_planes)
+    if mode == "scan1w":
+        return fused_blind_rotate_scan1w(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan2":
         return fused_blind_rotate_scan2(cfg, khi, klo, ahat, acc0_planes)
     if mode == "scan3":

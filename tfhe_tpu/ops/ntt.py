@@ -244,8 +244,9 @@ def dft_matrices_device(N: int):
     to_dev = lambda tabs: tuple(
         tuple(jnp.asarray(a) for a in entry) for entry in tabs)
     out = (to_dev(fwd_h), to_dev(inv_h))
-    from jax._src import core as _jcore
-    if not isinstance(out[0][0][0], _jcore.Tracer):
+    import jax
+
+    if not isinstance(out[0][0][0], jax.core.Tracer):
         _DFT_DEVICE_CACHE[N] = out
     return out
 

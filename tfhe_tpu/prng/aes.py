@@ -165,6 +165,11 @@ def _try_load_native():
         return None
 
 
+def native_backend_available() -> bool:
+    """True when the AES-NI native library is present (or just built)."""
+    return _try_load_native() is not None
+
+
 class Aes128:
     """AES-128 block encryptor over counter ranges, preferring the native lib."""
 

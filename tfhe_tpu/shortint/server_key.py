@@ -90,7 +90,7 @@ class ServerKey:
         # matmuls against constant DFT matrices instead of materialized
         # N x N key matrices (see ops/ntt.py)
         if self.is_multi_bit:
-            self.bsk = core.prepare_multi_bit_bsk_ntt(
+            self.bsk = core.prepare_multi_bit_bsk_auto(
                 bsk, p.pbs_base_log, p.grouping_factor)
         else:
             self.bsk = core.prepare_bsk_auto(bsk, p.pbs_base_log)

@@ -18,22 +18,32 @@ _DEFAULT_DIR = os.path.join(
     ".jax_cache")
 
 _enabled = False
+_applied_dir: str | None = None
 
 
 def enable_persistent_cache(cache_dir: str | None = None,
                             min_compile_secs: float = 0.5) -> str:
     """Point jax's persistent compilation cache at cache_dir (default:
-    <repo>/.jax_cache).  Returns the directory in effect."""
-    global _enabled
+    <repo>/.jax_cache).  Returns the directory actually in effect: a second
+    call cannot re-point the cache, so it returns (and warns about) the
+    directory applied by the first call."""
+    global _enabled, _applied_dir
     import jax
 
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
     if _enabled:
-        return path
+        if _applied_dir is not None and path != _applied_dir:
+            import warnings
+
+            warnings.warn(
+                "enable_persistent_cache: cache already enabled at "
+                f"{_applied_dir!r}; ignoring new request for {path!r}")
+        return _applied_dir or path
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
+    _applied_dir = path
     return path
