@@ -44,6 +44,20 @@ class IntegerServerKey(SignedOps):
     def __init__(self, key: ShortintServerKey):
         self.key = key
         self.message_modulus = key.message_modulus
+        self._fused_ops = None
+
+    def _fused(self, op: str, *batches) -> Optional[ShortintBatch]:
+        """Try the compiled single-program formulation (parallel/fused.py)
+        of `op` over clean blocks; None means host-path fallback.  One
+        device dispatch per radix op instead of one per PBS round (ref:
+        radix_parallel/* — the rayon schedule made static at trace time)."""
+        from .fused_dispatch import FusedIntegerOps, fused_integer_enabled
+
+        if not fused_integer_enabled():
+            return None
+        if self._fused_ops is None:
+            self._fused_ops = FusedIntegerOps(self)
+        return self._fused_ops.try_op(op, *batches)
 
     # ------------------------------------------------------------------
     # helpers
@@ -196,6 +210,9 @@ class IntegerServerKey(SignedOps):
 
     def add_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
                          ) -> RadixCiphertext:
+        r = self._fused("add", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         s = self.key.unchecked_add_batch(a.blocks, b.blocks)
         clean, _ = self.propagate_single_carry(s)
         return RadixCiphertext(clean)
@@ -229,12 +246,18 @@ class IntegerServerKey(SignedOps):
         )
 
     def neg_parallelized(self, a: RadixCiphertext) -> RadixCiphertext:
+        r = self._fused("neg", a.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         nb = self._neg_blocks(a.blocks)
         clean, _ = self.propagate_single_carry(nb)
         return RadixCiphertext(clean)
 
     def sub_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
                          ) -> RadixCiphertext:
+        r = self._fused("sub", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         nbk = self._neg_blocks(b.blocks)
         s = self.key.unchecked_add_batch(a.blocks, nbk)
         clean, _ = self.propagate_single_carry(s)
@@ -304,6 +327,9 @@ class IntegerServerKey(SignedOps):
 
     def mul_parallelized(self, a: RadixCiphertext, b: RadixCiphertext
                          ) -> RadixCiphertext:
+        r = self._fused("mul", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         msg = self._msg
         sks = self.key
         nb = a.num_blocks
@@ -390,15 +416,27 @@ class IntegerServerKey(SignedOps):
         return RadixCiphertext(out)
 
     def bitand_parallelized(self, a, b):
+        r = self._fused("band", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         return self._blockwise_bivariate(a, b, lambda x, y: x & y)
 
     def bitor_parallelized(self, a, b):
+        r = self._fused("bor", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         return self._blockwise_bivariate(a, b, lambda x, y: x | y)
 
     def bitxor_parallelized(self, a, b):
+        r = self._fused("bxor", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         return self._blockwise_bivariate(a, b, lambda x, y: x ^ y)
 
     def bitnot(self, a: RadixCiphertext) -> RadixCiphertext:
+        r = self._fused("bnot", a.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         lut = self.key.generate_lookup_table(
             lambda x: (self._msg - 1) - (x % self._msg))
         return RadixCiphertext(self.key.apply_lookup_table_batch(a.blocks, lut))
@@ -445,23 +483,29 @@ class IntegerServerKey(SignedOps):
         lut = self.key.generate_lookup_table(lambda x: int(f(x)))
         return BooleanBlock(self.key.apply_lookup_table_batch(sign, lut))
 
+    def _cmp_op(self, op: str, a, b, f) -> BooleanBlock:
+        r = self._fused(op, a.blocks, b.blocks)
+        if r is not None:
+            return BooleanBlock(r)
+        return self._sign_to_bool(self._compare(a, b), f)
+
     def eq_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s == 0)
+        return self._cmp_op("eq", a, b, lambda s: s == 0)
 
     def ne_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s != 0)
+        return self._cmp_op("ne", a, b, lambda s: s != 0)
 
     def lt_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s == 1)
+        return self._cmp_op("lt", a, b, lambda s: s == 1)
 
     def le_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s != 2)
+        return self._cmp_op("le", a, b, lambda s: s != 2)
 
     def gt_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s == 2)
+        return self._cmp_op("gt", a, b, lambda s: s == 2)
 
     def ge_parallelized(self, a, b) -> BooleanBlock:
-        return self._sign_to_bool(self._compare(a, b), lambda s: s != 1)
+        return self._cmp_op("ge", a, b, lambda s: s != 1)
 
     def scalar_eq_parallelized(self, a: RadixCiphertext, scalar: int) -> BooleanBlock:
         t = self.create_trivial_radix(scalar, a.num_blocks)
@@ -478,6 +522,9 @@ class IntegerServerKey(SignedOps):
 
     def if_then_else_parallelized(self, cond: BooleanBlock, a: RadixCiphertext,
                                   b: RadixCiphertext) -> RadixCiphertext:
+        r = self._fused("select", cond.block, a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         sks = self.key
         nb = a.num_blocks
         cond_rep = ShortintBatch(
@@ -499,9 +546,15 @@ class IntegerServerKey(SignedOps):
     cmux = if_then_else_parallelized
 
     def max_parallelized(self, a, b):
+        r = self._fused("max", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         return self.if_then_else_parallelized(self.ge_parallelized(a, b), a, b)
 
     def min_parallelized(self, a, b):
+        r = self._fused("min", a.blocks, b.blocks)
+        if r is not None:
+            return RadixCiphertext(r)
         return self.if_then_else_parallelized(self.le_parallelized(a, b), a, b)
 
     # ------------------------------------------------------------------

@@ -15,16 +15,30 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import keyswitch_then_pbs
 from ..core.keygen import PreparedBsk, PreparedKsk
 
 
-def fused_ks_pbs(ksk: PreparedKsk, bsk: PreparedBsk, acc, cts):
-    """Batched keyswitch+PBS over arbitrary leading axes: [..., n+1]."""
+def fused_ks_pbs(ksk: PreparedKsk, bsk, acc, cts):
+    """Batched keyswitch+PBS over arbitrary leading axes: [..., n+1].
+
+    acc may be a shared [G, N] accumulator or per-ciphertext accumulators
+    with the same leading axes as cts ([..., G, N]).  Dispatches to the
+    multi-bit PBS when handed a multi-bit prepared key."""
+    from ..core.multibit import (PreparedMultiBitBskNtt,
+                                 keyswitch_then_multi_bit_pbs)
+    from ..ops.fused_multibit import PreparedMultiBitBskFused
+
     lead = cts.shape[:-1]
     flat = cts.reshape((-1, cts.shape[-1]))
-    out = keyswitch_then_pbs(ksk, bsk, acc, flat)
+    if hasattr(acc, "ndim") and acc.ndim > 3:
+        acc = acc.reshape((-1,) + acc.shape[-2:])
+    if isinstance(bsk, (PreparedMultiBitBskNtt, PreparedMultiBitBskFused)):
+        out = keyswitch_then_multi_bit_pbs(ksk, bsk, acc, flat)
+    else:
+        out = keyswitch_then_pbs(ksk, bsk, acc, flat)
     return out.reshape(lead + (out.shape[-1],))
 
 
@@ -233,6 +247,120 @@ def fused_strings_contains(
     eqs = fused_ks_pbs(ksk, bsk, eq0_acc, sign)
     match = tree(eqs, and_acc)                    # [B, n, sz]
     return tree(match, or_acc)                    # [B, sz]
+
+
+def _neg_correct(b, *, message_modulus: int, carry_modulus: int, delta: int):
+    """Per-block negation of CLEAN radix blocks with the borrow-absorbing
+    correcting terms (ref: integer/server_key/radix/neg.rs).  For clean
+    inputs (degree <= msg-1) the host's degree-driven schedule is static:
+    z = msg for every block, carry-in 0 for block 0 and 1 above, so the
+    body correction is msg*delta on block 0 and (msg-1)*delta elsewhere."""
+    msg = message_modulus
+    B, nb, sz = b.shape
+    term = np.full(nb, msg, dtype=np.int64)
+    term[1:] -= 1
+    body = jnp.asarray(
+        (term % (2 * msg * carry_modulus)).astype(np.uint64)
+        * np.uint64(delta), b.dtype)
+    out = jnp.zeros_like(b) - b
+    return out.at[..., -1].add(body[None, :])
+
+
+def fused_radix_neg(ksk, bsk, state_acc, resolve_acc, carry_acc, msgext_acc,
+                    a, *, message_modulus: int, carry_modulus: int,
+                    delta: int):
+    """Radix negation of clean blocks in one computation
+    (ref: radix_parallel/neg.rs + the single-carry propagation)."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    s = _neg_correct(a, message_modulus=message_modulus,
+                     carry_modulus=carry_modulus, delta=delta)
+    return _propagate_single_carry(ksk, bsk, state_acc, resolve_acc,
+                                   carry_acc, msgext_acc, s, msg_u)
+
+
+def fused_radix_sub(ksk, bsk, state_acc, resolve_acc, carry_acc, msgext_acc,
+                    a, b, *, message_modulus: int, carry_modulus: int,
+                    delta: int):
+    """a - b over clean radix blocks, one computation
+    (ref: radix_parallel/sub.rs sub_parallelized)."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    s = a + _neg_correct(b, message_modulus=message_modulus,
+                         carry_modulus=carry_modulus, delta=delta)
+    return _propagate_single_carry(ksk, bsk, state_acc, resolve_acc,
+                                   carry_acc, msgext_acc, s, msg_u)
+
+
+def _tree_reduce(ksk, bsk, acc, x, msg_u):
+    """Pairwise reduce axis -2: merged = LUT(hi * msg + lo) with the higher
+    index as the bivariate lhs (matches IntegerServerKey._reduce_signs)."""
+    while x.shape[-2] > 1:
+        m = x.shape[-2]
+        lo = x[..., 0:m - 1:2, :]
+        hi = x[..., 1:m:2, :]
+        merged = fused_ks_pbs(ksk, bsk, acc, hi * msg_u + lo)
+        if m % 2 == 1:
+            merged = jnp.concatenate([merged, x[..., m - 1:m, :]], axis=-2)
+        x = merged
+    return x[..., 0, :]
+
+
+def fused_radix_cmp(ksk, bsk, sign_acc, resolve_acc, out_acc, a, b, *,
+                    message_modulus: int):
+    """Comparison of clean radix ciphertexts in one computation: per-block
+    3-state signs, MSB-first reduction tree, then a final LUT mapping the
+    sign to the op's boolean (ref: integer/server_key/comparator.rs:31-60).
+
+    a, b: [B, nb, sz]; returns [B, sz] boolean (0/1) blocks."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    signs = fused_ks_pbs(ksk, bsk, sign_acc, a * msg_u + b)
+    s = _tree_reduce(ksk, bsk, resolve_acc, signs, msg_u)
+    return fused_ks_pbs(ksk, bsk, out_acc, s)
+
+
+def fused_radix_bitop(ksk, bsk, op_acc, a, b, *, message_modulus: int):
+    """Blockwise bivariate op (bitand/or/xor), one PBS round
+    (ref: radix_parallel/bitwise_op.rs)."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    return fused_ks_pbs(ksk, bsk, op_acc, a * msg_u + b)
+
+
+def fused_radix_univariate(ksk, bsk, acc, a):
+    """Blockwise univariate LUT (bitnot etc.), one PBS round."""
+    return fused_ks_pbs(ksk, bsk, acc, a)
+
+
+def fused_radix_select(ksk, bsk, then_acc, else_acc, msgext_acc, cond, a, b,
+                       *, message_modulus: int):
+    """if cond then a else b (ref: radix_parallel/cmux.rs:27).
+
+    cond [B, sz] with value in the thenacc/else_acc packing domain
+    (a 0/1 boolean, or a 3-state comparison sign when the accs encode the
+    selection); a, b [B, nb, sz].  Both branch LUT batches run in ONE PBS
+    round via per-ciphertext accumulators, then one message extract."""
+    B, nb, sz = a.shape
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    condr = jnp.broadcast_to(cond[:, None, :], a.shape)
+    packed = jnp.concatenate([condr * msg_u + a, condr * msg_u + b], axis=1)
+    accs = jnp.concatenate([
+        jnp.broadcast_to(then_acc[None], (nb,) + then_acc.shape),
+        jnp.broadcast_to(else_acc[None], (nb,) + else_acc.shape),
+    ], axis=0)                                         # [2nb, G, N]
+    accs = jnp.broadcast_to(accs[None], (B,) + accs.shape)
+    out = fused_ks_pbs(ksk, bsk, accs, packed)         # [B, 2nb, sz]
+    return fused_ks_pbs(ksk, bsk, msgext_acc, out[:, :nb] + out[:, nb:])
+
+
+def fused_radix_minmax(ksk, bsk, sign_acc, resolve_acc, then_acc, else_acc,
+                       msgext_acc, a, b, *, message_modulus: int):
+    """max/min of clean radix ciphertexts in one computation: the reduced
+    comparison sign drives the cmux directly (then/else accs encode the
+    s != 1 / s == 1 selection), skipping the bool-conversion round
+    (ref: radix_parallel/comparator.rs max_parallelized)."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    signs = fused_ks_pbs(ksk, bsk, sign_acc, a * msg_u + b)
+    s = _tree_reduce(ksk, bsk, resolve_acc, signs, msg_u)
+    return fused_radix_select(ksk, bsk, then_acc, else_acc, msgext_acc,
+                              s, a, b, message_modulus=message_modulus)
 
 
 def make_sharded_radix_mul(mesh, sks, num_blocks: int):
