@@ -56,12 +56,17 @@ def bench_boolean(real: bool):
 
     params = DEFAULT_PARAMETERS_KS_PBS if real else BOOLEAN_TEST_PARAMETERS
     cks, sks = boolean.gen_keys(params, seed=1)
-    a = cks.encrypt_batch(np.ones(64, dtype=bool))
-    b = cks.encrypt_batch(np.zeros(64, dtype=bool))
-    dt = _time(lambda: sks.and_batch(a, b))
-    _record(f"boolean_gate_batch64::{params.name}", dt * 1e3, "ms",
-            baseline_ms=9.19 * 64)  # baseline: 9.19 ms per scalar gate
-    _record(f"boolean_gates_per_sec::{params.name}", 64 / dt, "gates/s")
+    best, best_batch = 0.0, 0
+    for batch in ((64, 256, 512) if real else (64,)):
+        a = cks.encrypt_batch(np.ones(batch, dtype=bool))
+        b = cks.encrypt_batch(np.zeros(batch, dtype=bool))
+        dt = _time(lambda: sks.and_batch(a, b))
+        _record(f"boolean_gate_batch{batch}::{params.name}", dt * 1e3, "ms",
+                baseline_ms=9.19 * batch)  # 9.19 ms per scalar gate
+        if batch / dt > best:
+            best, best_batch = batch / dt, batch
+    _record(f"boolean_gates_per_sec::{params.name}", best, "gates/s",
+            batch=best_batch, baseline_rate=1000.0 / 9.19)
 
 
 def bench_shortint(real: bool):
@@ -183,15 +188,56 @@ def bench_pbs_throughput(real: bool):
             batch=best_batch, baseline_rate=1000.0 / 16.6)
 
 
+def bench_multibit(real: bool):
+    """Multi-bit PBS family (ref: shortint/parameters/multi_bit.rs +
+    lwe_multi_bit_programmable_bootstrapping.rs): same 2_2 precision at
+    128-bit security with gf=3 grouping — n/3 blind-rotation steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core import keyswitch_then_multi_bit_pbs
+    from tfhe_tpu.params import (
+        PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST,
+        PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS,
+    )
+
+    params = (PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS if real
+              else PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_TEST)
+    cks, sks = shortint.gen_keys(params, seed=2, cache_dir=".keycache")
+    lut = sks.generate_lookup_table(lambda x: (3 * x) % 4)
+    fn = jax.jit(keyswitch_then_multi_bit_pbs)
+    for batch in ((128,) if real else (16,)):
+        ct = cks.encrypt_batch(np.arange(batch) % 4)
+        data = jnp.asarray(ct.data)
+        dt = _time(lambda: jax.block_until_ready(
+            fn(sks.ksk, sks.bsk, lut.acc, data)))
+        _record(f"multibit_ks_pbs_batch{batch}::{params.name}",
+                batch / dt, "PBS/s", batch=batch,
+                latency_ms=round(dt * 1e3, 2),
+                baseline_rate=1000.0 / 16.6)
+
+
 def main():
     real = bool(os.environ.get("BENCH_REAL"))
-    for b in (bench_boolean, bench_shortint, bench_integer,
-              bench_strings, bench_keygen, bench_pbs_throughput):
+    families = {
+        "strings": bench_strings,
+        "keygen": bench_keygen,
+        "pbs_throughput": bench_pbs_throughput,
+        "multibit": bench_multibit,
+        "boolean": bench_boolean,
+        "shortint": bench_shortint,
+        "integer": bench_integer,
+    }
+    # previously-starved families run first so a budget overrun cannot
+    # starve them again (round-3 postmortem); BENCH_FAMILIES=a,b filters
+    sel = os.environ.get("BENCH_FAMILIES")
+    names = [n.strip() for n in sel.split(",")] if sel else list(families)
+    for n in names:
         try:
-            b(real)
+            families[n](real)
         except Exception as e:  # keep the suite running
-            print(json.dumps({"name": b.__name__, "error": repr(e)}),
-                  flush=True)
+            print(json.dumps({"name": n, "error": repr(e)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -20,8 +20,9 @@ from .sharding import (
     shard_server_key,
 )
 from .fused import (fused_ks_pbs, fused_radix_add, fused_radix_mul,
-                    fused_strings_contains, make_sharded_radix_add,
-                    make_sharded_radix_mul, make_sharded_strings_contains)
+                    fused_strings_contains, make_blockshard_radix_add,
+                    make_sharded_radix_add, make_sharded_radix_mul,
+                    make_sharded_strings_contains)
 from .checkpoint import (
     CheckpointManager,
     DeviceFailure,
@@ -39,6 +40,7 @@ __all__ = [
     "shard_server_key",
     "fused_ks_pbs",
     "fused_radix_add",
+    "make_blockshard_radix_add",
     "make_sharded_radix_add",
     "make_sharded_radix_mul",
     "make_sharded_strings_contains",

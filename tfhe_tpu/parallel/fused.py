@@ -363,6 +363,101 @@ def fused_radix_minmax(ksk, bsk, sign_acc, resolve_acc, then_acc, else_acc,
                               s, a, b, message_modulus=message_modulus)
 
 
+def _shift_up_collective(x, d: int, ndev: int, axis: str):
+    """Global block shift towards higher significance for BLOCK-SHARDED
+    radix state: x [B, nbl, sz] is this chip's contiguous slice of the
+    global [B, nb, sz] block axis (chip i holds blocks [i*nbl, (i+1)*nbl)).
+    out_global[k] = in_global[k - d], zeros shifted in at the bottom.
+
+    Whole-shard moves and the partial-boundary halo both ride
+    lax.ppermute over the mesh axis (ICI); non-cyclic perms give the
+    bottom chip its zeros for free (unaddressed destinations receive 0).
+    """
+    nbl = x.shape[1]
+    k, r = divmod(d, nbl)
+    if k:
+        if k >= ndev:
+            return jnp.zeros_like(x)
+        x = jax.lax.ppermute(
+            x, axis, [(i, i + k) for i in range(ndev - k)])
+    if r:
+        tail = x[:, nbl - r:]
+        recv = jax.lax.ppermute(
+            tail, axis, [(i, i + 1) for i in range(ndev - 1)])
+        x = jnp.concatenate([recv, x[:, :nbl - r]], axis=1)
+    return x
+
+
+def fused_radix_add_blockshard(ksk, bsk, state_acc, resolve_acc, carry_acc,
+                               msgext_acc, a, b, *, message_modulus: int,
+                               num_blocks: int, ndev: int, axis: str):
+    """Radix add with the BLOCK axis sharded across chips — the collective
+    Hillis-Steele carry scan (SURVEY #28): every scan round's block shift
+    crosses chip boundaries via ppermute while the PBS batches stay local.
+    Runs INSIDE shard_map; a, b are the local shards [B, nb/ndev, sz].
+    (ref: radix_parallel/add.rs:518-603 — the rayon scan, here spanning
+    chips for radix widths that exceed one chip's batch budget.)"""
+    msg = jnp.asarray(message_modulus, a.dtype)
+    s = a + b
+    state = fused_ks_pbs(ksk, bsk, state_acc, s)
+    d = 1
+    while d < num_blocks:
+        prev = _shift_up_collective(state, d, ndev, axis)
+        state = fused_ks_pbs(ksk, bsk, resolve_acc, state * msg + prev)
+        d *= 2
+    carries = fused_ks_pbs(ksk, bsk, carry_acc, state)
+    carry_in = _shift_up_collective(carries, 1, ndev, axis)
+    return fused_ks_pbs(ksk, bsk, msgext_acc, s + carry_in)
+
+
+def make_blockshard_radix_add(mesh, sks, num_blocks: int,
+                              axis: str = "batch"):
+    """Bind a ShortintServerKey + mesh into a jitted radix add whose BLOCK
+    axis spans the mesh (keys replicated, carry states ppermuted).
+
+    Returns (step, place): step(a, b) -> clean sum with a/b [B, nb, sz]
+    sharded on the block axis; the compiled program contains real
+    collective-permutes (asserted in tests/test_mesh.py)."""
+    import jax.sharding as jsh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharding import shard_server_key
+
+    ndev = mesh.shape[axis]
+    if num_blocks % ndev:
+        raise ValueError(f"num_blocks {num_blocks} not divisible by "
+                         f"mesh axis {axis}={ndev}")
+    msg = sks.message_modulus
+    state_acc = sks.generate_lookup_table(
+        lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)).acc
+    resolve_acc = sks.generate_lookup_table_bivariate(
+        lambda cur, prev: min(prev if cur == 1 else cur, 2)).acc.acc
+    carry_acc = sks.generate_lookup_table(lambda x: 1 if x == 2 else 0).acc
+    msgext_acc = sks.generate_lookup_table(lambda x: x % msg).acc
+
+    bsk, ksk = shard_server_key(mesh, sks.bsk, sks.ksk)
+    ct_spec = P(None, axis, None)
+    rep = P()
+    body = functools.partial(
+        fused_radix_add_blockshard, message_modulus=msg,
+        num_blocks=num_blocks, ndev=ndev, axis=axis)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, ct_spec, ct_spec),
+        out_specs=ct_spec, check_vma=False))
+
+    ct_sh = NamedSharding(mesh, ct_spec)
+
+    def step(a, b):
+        return fn(ksk, bsk, state_acc, resolve_acc, carry_acc, msgext_acc,
+                  a, b)
+
+    def place(x):
+        return jax.device_put(jnp.asarray(x), ct_sh)
+
+    return step, place
+
+
 def make_sharded_radix_mul(mesh, sks, num_blocks: int):
     """Bind a ShortintServerKey + mesh into a jitted sharded radix-mul step
     (same contract as make_sharded_radix_add)."""

@@ -27,27 +27,30 @@ def shard_batch(mesh: Mesh, x, axis: str = "batch"):
     return jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim, axis)))
 
 
-def bsk_spec(ndim: int, poly_axis: str = "poly") -> P:
-    """Shard the trailing polynomial/spectrum axis of large BSK tensors
-    (ext_limbs [n, L, J, O, M, 2N] or spectra/shoup [n, P, L, J, O, M, N]);
-    small auxiliary leaves (e.g. the rank-3 DFT limb matrices carried in
-    PreparedBskNtt) are replicated."""
-    if ndim >= 6:
-        return P(*([None] * (ndim - 1)), poly_axis)
-    return P()
-
-
 def key_shardings(mesh: Mesh, bsk: PreparedBsk, ksk: PreparedKsk):
-    """(bsk_sharding_tree, ksk_sharding_tree) matching the key pytrees."""
+    """(bsk_sharding_tree, ksk_sharding_tree) matching the key pytrees.
+
+    Keys are REPLICATED by design.  Batch data-parallelism needs no
+    cross-chip communication on the hot path (each chip bootstraps its own
+    ciphertexts against a full key copy), and the prepared 2_2 BSK is a few
+    hundred MB — a small fraction of per-chip HBM.  An earlier revision
+    sharded the BSK's trailing spectrum axis ("poly"), but the blind
+    rotation contracts that axis inside the Pallas kernel, which GSPMD
+    cannot partition — the spec was inert.  A genuinely sharded kernel
+    (key halves + spectrum-domain halo exchange over ICI) is the documented
+    scale-out path for keys that outgrow HBM; until then, replication is
+    the honest, collectives-free layout.  Cross-chip collectives DO appear
+    where they pay: the block-sharded carry scan (fused.py
+    make_blockshard_radix_add) ppermutes carry states between chips."""
     bsk_sh = jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, bsk_spec(leaf.ndim)), bsk)
+        lambda _: NamedSharding(mesh, P()), bsk)
     ksk_sh = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), ksk)
     return bsk_sh, ksk_sh
 
 
 def shard_server_key(mesh: Mesh, bsk: PreparedBsk, ksk: PreparedKsk):
-    """Place the prepared keys on the mesh: BSK poly-sharded, KSK replicated."""
+    """Place the prepared keys on the mesh (replicated; see key_shardings)."""
     bsk_sh, ksk_sh = key_shardings(mesh, bsk, ksk)
     return (
         jax.tree_util.tree_map(jax.device_put, bsk, bsk_sh),
