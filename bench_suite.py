@@ -118,6 +118,43 @@ def bench_integer(real: bool):
         _record(f"fheuint32_{opname}::{params.name}", dt * 1e3, "ms",
                 baseline_ms=baseline)
 
+    # batch-64 add throughput (one compiled program over [64, 16, sz]):
+    # the latency table above is depth-bound; this is the chip's per-add
+    # throughput vs ONE reference core running the same op end to end
+    # (~112 sequential+parallel PBS at 16.6 ms each ~= 1.86 s/core)
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu import integer
+    from tfhe_tpu.parallel.fused import fused_radix_add
+
+    icks, isks = integer.gen_keys_radix(params, 16, seed=99,
+                                        cache_dir=".keycache")
+    sks_i = isks.key
+    msg = sks_i.message_modulus
+    accs = (
+        sks_i.generate_lookup_table(
+            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)).acc,
+        sks_i.generate_lookup_table_bivariate(
+            lambda cur, prev: min(prev if cur == 1 else cur, 2)).acc.acc,
+        sks_i.generate_lookup_table(lambda x: 1 if x == 2 else 0).acc,
+        sks_i.generate_lookup_table(lambda x: x % msg).acc,
+    )
+    B = 64 if real else 4
+    one = icks.encrypt(123456789).blocks.data
+    av = jnp.asarray(np.broadcast_to(one[None], (B,) + one.shape))
+    bv = jnp.asarray(np.broadcast_to(
+        icks.encrypt(987654321).blocks.data[None], (B,) + one.shape))
+    fn = jax.jit(functools.partial(fused_radix_add, message_modulus=msg))
+    dt = _time(lambda: jax.block_until_ready(
+        fn(sks_i.ksk, sks_i.bsk, *accs, av, bv)), iters=1)
+    single_core_add_s = 112 * 16.6e-3
+    _record(f"fheuint32_add_batch{B}::{params.name}", B / dt, "adds/s",
+            batch=B, per_add_ms=round(dt / B * 1e3, 1),
+            baseline_rate=1.0 / single_core_add_s)
+
 
 def bench_strings(real: bool):
     from tfhe_tpu import strings
@@ -137,6 +174,57 @@ def bench_strings(real: bool):
     dt = _time(lambda: sks.find(s, pat), iters=2)
     _record(f"strings_find_len11::{tag}", dt * 1e3, "ms",
             baseline_ms=78.6)  # fhe_strings/Readme.md:32
+
+    # batched contains (fused single-computation path over B strings):
+    # the latency numbers above are bound by PBS depth x blind-rotation
+    # latency; this is the TPU's throughput framing of the same op
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_tpu.parallel.fused import fused_strings_contains
+    from tfhe_tpu.strings.client_key import NUMBER_BLOCKS
+
+    sks_s = sks.integer_key.key
+    msg = sks_s.message_modulus
+    B = 32 if real else 4
+    texts = (["hello world", "hello_worxd"] * B)[:B]
+    nchars = 11
+    pat_clear = "world"
+    pat_digits = tuple(
+        tuple((ord(c) // msg**d) % msg for d in range(NUMBER_BLOCKS))
+        for c in pat_clear)
+    accs = (
+        sks_s.generate_lookup_table_bivariate(
+            lambda x, y: 0 if x == y else (1 if x < y else 2)).acc.acc,
+        sks_s.generate_lookup_table_bivariate(
+            lambda high, low: min(low if high == 0 else high, 2)).acc.acc,
+        sks_s.generate_lookup_table(lambda v: int(v == 0)).acc,
+        sks_s.generate_lookup_table_bivariate(
+            lambda x, y: int(bool(x) and bool(y))).acc.acc,
+        sks_s.generate_lookup_table_bivariate(
+            lambda x, y: int(bool(x) or bool(y))).acc.acc,
+    )
+
+    def enc_text(t):
+        chars = [ord(c) for c in t] + [0] * (nchars - len(t))
+        digs = [(c // msg**d) % msg
+                for c in chars for d in range(NUMBER_BLOCKS)]
+        from tfhe_tpu.strings.client_key import NUMBER_BLOCKS as nb_
+
+        return cks.integer_key.key.encrypt_batch(
+            np.asarray(digs, np.uint64)).data.reshape(nchars, nb_, -1)
+
+    batch = jnp.asarray(np.stack([enc_text(t) for t in texts]))
+    fn = jax.jit(functools.partial(
+        fused_strings_contains, pat_digits=pat_digits,
+        message_modulus=msg, delta=sks_s.delta))
+    dt = _time(lambda: jax.block_until_ready(
+        fn(sks_s.ksk, sks_s.bsk, *accs, batch)), iters=2)
+    _record(f"strings_contains_batch{B}::{tag}", dt / B * 1e3,
+            "ms/string", baseline_ms=78.6, batch=B,
+            total_ms=round(dt * 1e3, 1))
 
 
 def bench_keygen(real: bool):

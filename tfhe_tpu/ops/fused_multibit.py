@@ -54,6 +54,7 @@ from .fused_pbs import (
     _decompose_planes,
     _limb_rows,
     _forward_prime_t,
+    _inverse_prime_t,
     _dot8,
     _fold_t,
     _shoup_t,
@@ -177,10 +178,11 @@ def _check_mb_bounds(cfg: FusedConfig, gf: int):
 class PreparedMultiBitBskFused:
     """Subset-GGSW spectra in fused-kernel order.
 
-    khi/klo: [n_groups, 2^gf, P, N, LJ*OM] int16/int8 hi/lo bytes of the
-    balanced per-prime subset-key spectra (same per-entry layout as
-    PreparedBskFused; ref: lwe_multi_bit_bootstrap_key_generation.rs on
-    the key contents)."""
+    khi/klo: [n_groups, P, N, 2^gf, LJ*OM] int16/int8 hi/lo bytes of the
+    balanced per-prime subset-key spectra (classic khi/klo split with the
+    subset axis placed next to the columns so the kernel slices subset
+    stacks without transposes; ref:
+    lwe_multi_bit_bootstrap_key_generation.rs on the key contents)."""
 
     khi: Any
     klo: Any
@@ -216,9 +218,13 @@ def prepare_multi_bit_bsk_fused(mbsk: np.ndarray, base_log: int,
         jnp.asarray(mbsk.reshape(n_groups * per, L, J, O, N)), cfg)
     P = len(cfg.primes)
     W = kh.shape[-1]
+    # [ng*per, P, N, W] -> [ng, P, N, per, W]: subset axis beside the
+    # columns so in-kernel subset stacks are plain slices
+    kh = jnp.moveaxis(kh.reshape(n_groups, per, P, N, W), 1, 3)
+    kl = jnp.moveaxis(kl.reshape(n_groups, per, P, N, W), 1, 3)
     return PreparedMultiBitBskFused(
-        khi=kh.reshape(n_groups, per, P, N, W),
-        klo=kl.reshape(n_groups, per, P, N, W),
+        khi=kh,
+        klo=kl,
         cfg=cfg, base_log=base_log, levels=L, glwe_size=J,
         polynomial_size=N, input_dim=n_groups * grouping_factor,
         grouping_factor=grouping_factor, bits=bits,
@@ -247,53 +253,35 @@ def _dec_limbs(cfg: FusedConfig, acc, Bb: int):
     return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb]
 
 
-def _mb_primes_math(cfg: FusedConfig, gf: int, tab_refs, consts_refs,
-                    mon_refs, kat, d_sing, eps_row, X8, Bb: int):
-    """Per-step spectrum math: forward NTT, in-kernel monomial build,
-    key-side combine, sum-before-fold MAC, OM-wide inverse NTT, streaming
-    CRT from ZERO planes (the external product replaces the accumulator).
+def _mb_combine_math(cfg: FusedConfig, gf: int, mon_refs, consts_refs,
+                     kat, kat_sub, d_sing, eps_row, keh_ref, kel_ref,
+                     Bb: int):
+    """Kernel-1 math: build the per-lane monomial spectra and write the
+    COMBINED key K_eff = K_0 + sum_j mon_j * K_j for every column to the
+    output refs (khi int16 / klo int8 split, same encoding as the stored
+    BSK).  Split from the MAC kernel because the single-kernel body
+    spilled 142-168M of vregs (VMEM is 128M on v5e); the ~30MB/step HBM
+    round-trip costs ~2x40us, far less than the OOM alternative.
 
-    kat(j, ip) -> (khi, klo) int32 [N, W] subset-key slice.
-    d_sing [gf, B] switched singleton degrees; eps_row [per, B] in
-    {-1, 0, 1} (0 at singleton/empty positions)."""
-    N, R, C = cfg.N, cfg.R, cfg.C
+    kat(j, ip) -> (khi, klo) int32 [N, W]; kat_sub(ip) -> [N, per-1, W].
+    d_sing [gf, B]; eps_row [per, B] in {-1, 0, 1}.
+    """
+    N = cfg.N
     G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
-    LJ, OM = L * G, G * M
-    K1, K2 = R, C
+    W = L * G * G * M
     per = 1 << gf
     nbits = (2 * N).bit_length() - 1
 
-    lo_s = tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
-    hi_s = (tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
-            if cfg.bits == 64 else tuple())
-    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
-
-    def _tset(tup, i, v):
-        return tup[:i] + (v,) + tup[i + 1:]
-
     offset = 0
     for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
-        (W1A8r, W2B8r, W2I8r, W1I8r,
-         TCr, TCshr, TICr, TICshr) = tab_refs[g]
         (psi2tr, psi2tshr, epsPr, epsPshr, epsMr, epsMshr) = mon_refs[g]
         cr = consts_refs[g]
 
-        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
-                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
-                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr,
-                 psi2tr=psi2tr, psi2tshr=psi2tshr, epsPr=epsPr,
-                 epsPshr=epsPshr, epsMr=epsMr, epsMshr=epsMshr):
-            lo_s, hi_s, af = carry
+        def body(gip, carry, offset=offset, cr=cr, psi2tr=psi2tr,
+                 psi2tshr=psi2tshr, epsPr=epsPr, epsPshr=epsPshr,
+                 epsMr=epsMr, epsMshr=epsMshr):
             p = cr[gip, 0]
             inv = np.float32(1.0) / p.astype(jnp.float32)
-            W1A8 = _ds0(W1A8r, gip)
-            W2B8 = _ds0(W2B8r, gip)
-            W2I8 = _ds0(W2I8r, gip)
-            W1I8 = _ds0(W1I8r, gip)
-            TC = _ds0(TCr, gip)
-            TCsh = _ds0(TCshr, gip)
-            TIC = _ds0(TICr, gip)
-            TICsh = _ds0(TICshr, gip)
             psi2t = _ds0(psi2tr, gip)              # [nbits, N]
             psi2tsh = _ds0(psi2tshr, gip)
             epsP = _ds0(epsPr, gip)                # [N]
@@ -301,12 +289,6 @@ def _mb_primes_math(cfg: FusedConfig, gf: int, tab_refs, consts_refs,
             epsM = _ds0(epsMr, gip)
             epsMsh = _ds0(epsMshr, gip)
             ip = np.int32(offset) + gip
-
-            spec = [
-                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
-                                 p, inv, cfg, Bb)
-                for lj in range(LJ)
-            ]
 
             # singleton monomial spectra from static psi-power chains
             mons = {}
@@ -330,56 +312,107 @@ def _mb_primes_math(cfg: FusedConfig, gf: int, tab_refs, consts_refs,
                 mons[j] = jnp.where(
                     ej == 1, ep, jnp.where(ej == -1, em, t0))
 
-            # key-side combine: K_eff = K_0 + sum_j mon_j * K_j, with the
-            # monomial split into 8-bit pieces so partial products sum in
-            # int32 before the two folds (bounds: _check_mb_bounds)
-            heff = jnp.zeros((N, LJ * OM, Bb), jnp.int32)
-            leff = jnp.zeros((N, LJ * OM, Bb), jnp.int32)
-            for j in range(1, per):
-                khj, klj = kat(j, ip)              # [N, W] int32
-                kj = khj * 256 + klj
-                m = mons[j]
-                mlo = ((m + 128) & 255) - 128
-                mhi = (m - mlo) >> 8
-                heff = heff + mhi[:, None, :] * kj[:, :, None]
-                leff = leff + mlo[:, None, :] * kj[:, :, None]
+            # monomial 8-bit splits stacked into TWO 3D arrays (fewer
+            # live names; each column combine is one multiply-reduce;
+            # bounds: _check_mb_bounds)
+            mlo_st = jnp.stack(
+                [((mons[j] + 128) & 255) - 128 for j in range(1, per)],
+                axis=1)                            # [N, per-1, B]
+            mhi_st = jnp.stack(
+                [(mons[j] - (((mons[j] + 128) & 255) - 128)) >> 8
+                 for j in range(1, per)], axis=1)
             kh0, kl0 = kat(0, ip)
-            k0 = kh0 * 256 + kl0
-            t1 = _fold_t(heff, p, inv)
-            keff = _fold_t(t1 * 256 + leff + k0[:, :, None], p, inv)
-            kloe = ((keff + 128) & 255) - 128
-            khie = (keff - kloe) >> 8
+            khs, kls = kat_sub(ip)                 # [N, per-1, W] int32
+            kst = khs * 256 + kls
 
-            # sum-before-fold MAC (full-array products; bounds as classic)
-            maccs = []
-            for om in range(OM):
-                hi_sum = jnp.zeros((N, Bb), jnp.int32)
-                lo_sum = jnp.zeros((N, Bb), jnp.int32)
-                for lj in range(LJ):
-                    col = lj * OM + om
-                    hi_sum = hi_sum + spec[lj] * khie[:, col, :]
-                    lo_sum = lo_sum + spec[lj] * kloe[:, col, :]
-                tm = _fold_t(hi_sum, p, inv)
-                maccs.append(_fold_t(tm * 256 + lo_sum, p, inv))
-            macc = jnp.concatenate(maccs, axis=1)  # [N, OM*B], om-major
+            khi_cols, klo_cols = [], []
+            for col in range(W):
+                kcol = kst[:, :, col:col + 1]      # [N, per-1, 1]
+                heff = jnp.sum(mhi_st * kcol, axis=1, dtype=jnp.int32)
+                leff = jnp.sum(mlo_st * kcol, axis=1, dtype=jnp.int32)
+                k0 = kh0[:, col:col + 1] * 256 + kl0[:, col:col + 1]
+                t1 = _fold_t(heff, p, inv)
+                keff = _fold_t(t1 * 256 + leff + k0, p, inv)
+                kloe = ((keff + 128) & 255) - 128
+                khi_cols.append(((keff - kloe) >> 8).astype(jnp.int16))
+                klo_cols.append(kloe.astype(jnp.int8))
+            keh_ref[pl.ds(ip, 1)] = jnp.stack(khi_cols, axis=1)[None]
+            kel_ref[pl.ds(ip, 1)] = jnp.stack(klo_cols, axis=1)[None]
+            return carry
 
-            # OM-wide inverse NTT (same shape dance as fused_pbs wide)
-            macc_w = macc.reshape(C, R * OM * Bb)
-            S8 = _limb_rows(macc_w, nlx)
-            U = _dot8(W2I8, S8)
-            u = _horner_t(U, nl, C, p, inv)
-            u3 = u.reshape(C, K1, OM * Bb)
-            u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
-            ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * OM * Bb)
-            U8 = _limb_rows(ut, nlx)
-            V = _dot8(W1I8, U8)
-            chatw = _horner_t(V, nl, R, p, inv)
-            chat_w = chatw.reshape(N, OM * Bb)
+        def scan_body(carry, _, body=body):
+            gip, state = carry
+            return (gip + np.int32(1), body(gip, state)), None
 
+        (_, _unused), _ = jax.lax.scan(
+            scan_body, (np.int32(0), np.int32(0)), None, length=len(idx))
+        offset += len(idx)
+
+
+def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
+                 X8, Bb: int):
+    """Kernel-2 math: forward NTT, sum-before-fold MAC against the
+    pre-combined key columns, narrow inverse NTT, streaming CRT from ZERO
+    planes (the multi-bit external product REPLACES the accumulator).
+    Identical structure to fused_pbs._primes_crt_math with a per-lane key.
+    """
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+
+    lo_s = tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+    hi_s = (tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+            if cfg.bits == 64 else tuple())
+    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
+
+    def _tset(tup, i, v):
+        return tup[:i] + (v,) + tup[i + 1:]
+
+    offset = 0
+    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
+        (W1A8r, W2B8r, W2I8r, W1I8r,
+         TCr, TCshr, TICr, TICshr) = tab_refs[g]
+        cr = consts_refs[g]
+
+        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
+                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
+                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
+            lo_s, hi_s, af = carry
+            p = cr[gip, 0]
+            inv = np.float32(1.0) / p.astype(jnp.float32)
+            W1A8 = _ds0(W1A8r, gip)
+            W2B8 = _ds0(W2B8r, gip)
+            W2I8 = _ds0(W2I8r, gip)
+            W1I8 = _ds0(W1I8r, gip)
+            TC = _ds0(TCr, gip)
+            TCsh = _ds0(TCshr, gip)
+            TIC = _ds0(TICr, gip)
+            TICsh = _ds0(TICshr, gip)
+            ip = np.int32(offset) + gip
+            keh = keh_at(ip)                       # [N, W, B] int16 ref slice
+            kel = kel_at(ip)
+
+            spec = [
+                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                 p, inv, cfg, Bb)
+                for lj in range(LJ)
+            ]
             for o in range(G):
                 for m in range(M):
                     om = o * M + m
-                    chat = chat_w[:, om * Bb:(om + 1) * Bb]
+                    hi_sum = jnp.zeros((N, Bb), jnp.int32)
+                    lo_sum = jnp.zeros((N, Bb), jnp.int32)
+                    for lj in range(LJ):
+                        col = lj * OM + om
+                        hi_sum = hi_sum + spec[lj] * keh[
+                            :, col, :].astype(jnp.int32)
+                        lo_sum = lo_sum + spec[lj] * kel[
+                            :, col, :].astype(jnp.int32)
+                    tm = _fold_t(hi_sum, p, inv)
+                    macc = _fold_t(tm * 256 + lo_sum,
+                                   p, inv).reshape(C, R * Bb)
+                    chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
+                                            nl, nlx, p, inv, cfg, Bb)
                     af = _tset(af, om,
                                af[om] + chat.astype(jnp.float32) * inv)
                     if cfg.bits == 64:
@@ -437,9 +470,11 @@ def _mb_primes_math(cfg: FusedConfig, gf: int, tab_refs, consts_refs,
 
 def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
                                d_sing, eps, acc0_planes):
-    """lax.scan over groups; one Pallas kernel per step.
+    """lax.scan over groups; TWO Pallas kernels per step (combine kernel
+    writes the per-step combined key to HBM, MAC kernel consumes it — the
+    single-kernel body spilled 142-168M of vregs against 128M of VMEM).
 
-    khi/klo: [n_groups, per, P, N, W]; d_sing [n_groups, gf, B] int32;
+    khi/klo: [n_groups, P, N, per, W]; d_sing [n_groups, gf, B] int32;
     eps [n_groups, per, B] int32; acc0_planes [G, M, N, B] int32.
     """
     import sys
@@ -448,6 +483,9 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     B = d_sing.shape[-1]
     per = 1 << gf
     G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    LJ = cfg.levels * G
+    W = LJ * G * cfg.planes
+    P = len(cfg.primes)
     nG = len(prime_groups(cfg))
     tabs, consts = build_tables_stacked(cfg)
     montabs = build_mon_tables_stacked(cfg)
@@ -460,44 +498,73 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     n_tab = 8 * nG
     n_mon = 6 * nG
 
-    def step_kernel(*refs):
-        d_ref, e_ref, kh_ref, kl_ref, acc_ref = refs[:5]
-        tab_refs = [tuple(refs[5 + 8 * g + j] for j in range(8))
+    def combine_kernel(*refs):
+        d_ref, e_ref, kh_ref, kl_ref = refs[:4]
+        mon_refs = [tuple(refs[4 + 6 * g + j] for j in range(6))
                     for g in range(nG)]
-        mon_refs = [tuple(refs[5 + n_tab + 6 * g + j] for j in range(6))
-                    for g in range(nG)]
-        consts_refs = [refs[5 + n_tab + n_mon + g] for g in range(nG)]
-        out_ref = refs[5 + n_tab + n_mon + nG]
-        x8 = _dec_limbs(cfg, acc_ref[...], B)
+        consts_refs = [refs[4 + n_mon + g] for g in range(nG)]
+        keh_ref = refs[4 + n_mon + nG]
+        kel_ref = refs[4 + n_mon + nG + 1]
         d_sing_v = d_ref[...]                     # [gf, B]
         eps_v = e_ref[...]                        # [per, B]
 
         def kat(j, ip):
-            kh = kh_ref[j, pl.ds(ip, 1)][0].astype(jnp.int32)
-            kl = kl_ref[j, pl.ds(ip, 1)][0].astype(jnp.int32)
+            kh = kh_ref[pl.ds(ip, 1)][0][:, j, :].astype(jnp.int32)
+            kl = kl_ref[pl.ds(ip, 1)][0][:, j, :].astype(jnp.int32)
             return kh, kl
 
-        out_ref[...] = _mb_primes_math(
-            cfg, gf, tab_refs, consts_refs, mon_refs, kat,
-            [d_sing_v[i] for i in range(gf)],
-            [eps_v[j] for j in range(per)], x8, B)
+        def kat_sub(ip):
+            kh = kh_ref[pl.ds(ip, 1)][0][:, 1:, :].astype(jnp.int32)
+            kl = kl_ref[pl.ds(ip, 1)][0][:, 1:, :].astype(jnp.int32)
+            return kh, kl
 
-    call = pl.pallas_call(
-        step_kernel,
-        in_specs=[vm] * 5 + [vm] * n_tab + [vm] * n_mon + [sm] * nG,
+        _mb_combine_math(
+            cfg, gf, mon_refs, consts_refs, kat, kat_sub,
+            [d_sing_v[i] for i in range(gf)],
+            [eps_v[j] for j in range(per)], keh_ref, kel_ref, B)
+
+    mon_flat = [t for g_tabs in montabs for t in g_tabs]
+    combine_call = pl.pallas_call(
+        combine_kernel,
+        in_specs=[vm] * 4 + [vm] * n_mon + [sm] * nG,
+        out_specs=(vm, vm),
+        out_shape=(jax.ShapeDtypeStruct((P, N, W, B), jnp.int16),
+                   jax.ShapeDtypeStruct((P, N, W, B), jnp.int8)),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    def mac_kernel(*refs):
+        keh_ref, kel_ref, acc_ref = refs[:3]
+        tab_refs = [tuple(refs[3 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[3 + n_tab + g] for g in range(nG)]
+        out_ref = refs[3 + n_tab + nG]
+        x8 = _dec_limbs(cfg, acc_ref[...], B)
+
+        def keh_at(ip):
+            return keh_ref[pl.ds(ip, 1)][0]
+
+        def kel_at(ip):
+            return kel_ref[pl.ds(ip, 1)][0]
+
+        out_ref[...] = _mb_mac_math(
+            cfg, tab_refs, consts_refs, keh_at, kel_at, x8, B)
+
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+    mac_call = pl.pallas_call(
+        mac_kernel,
+        in_specs=[vm] * 3 + [vm] * n_tab + [sm] * nG,
         out_specs=vm,
         out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
         compiler_params=cparams,
         interpret=interp,
     )
 
-    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
-    mon_flat = [t for g_tabs in montabs for t in g_tabs]
-
     def step(acc, xs):
         d_row, e_row, kh, kl = xs
-        return call(d_row, e_row, kh, kl, acc,
-                    *tabs_flat, *mon_flat, *consts), None
+        keh, kel = combine_call(d_row, e_row, kh, kl, *mon_flat, *consts)
+        return mac_call(keh, kel, acc, *tabs_flat, *consts), None
 
     out, _ = jax.lax.scan(step, acc0_planes, (d_sing, eps, khi, klo))
     return out
