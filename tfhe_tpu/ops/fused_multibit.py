@@ -144,6 +144,30 @@ def build_mon_tables_stacked(cfg: FusedConfig):
     return tabs
 
 
+_MON_ALL_DEVICE_CACHE: dict = {}
+
+
+def build_mon_tables_allprime(cfg: FusedConfig):
+    """Mon tables + CRT consts stacked over ALL primes (their shapes are
+    uniform, unlike the NTT limb tables), so the combine kernel can grid
+    over primes with plain block specs."""
+    if cfg in _MON_ALL_DEVICE_CACHE:
+        return _MON_ALL_DEVICE_CACHE[cfg]
+    host = _host_mon_tables(cfg)
+    cat = {k: np.concatenate([t[k] for t in host], axis=0)
+           for k in _MON_KEYS}
+    # eps vectors ride as [P, 1, N] so per-prime blocks keep their last
+    # two dims equal to the array's (Pallas TPU block-shape rule)
+    for k in ("epsP", "epsPsh", "epsM", "epsMsh"):
+        cat[k] = cat[k][:, None, :]
+    tabs = tuple(jnp.asarray(cat[k]) for k in _MON_KEYS)
+    pconst = jnp.asarray(np.asarray(cfg.primes, np.int32)[:, None, None])
+    if not isinstance(tabs[0], jax.core.Tracer):
+        _MON_ALL_DEVICE_CACHE[cfg] = (tabs, pconst)
+        return tabs, pconst
+    return tabs, pconst
+
+
 def _check_mb_bounds(cfg: FusedConfig, gf: int):
     """int32/fold-margin safety for the in-kernel combine (see the MAC
     bound comment in fused_pbs.make_config for the fold drift model:
@@ -253,100 +277,74 @@ def _dec_limbs(cfg: FusedConfig, acc, Bb: int):
     return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb]
 
 
-def _mb_combine_math(cfg: FusedConfig, gf: int, mon_refs, consts_refs,
-                     kat, kat_sub, d_sing, eps_row, keh_ref, kel_ref,
-                     Bb: int):
-    """Kernel-1 math: build the per-lane monomial spectra and write the
-    COMBINED key K_eff = K_0 + sum_j mon_j * K_j for every column to the
-    output refs (khi int16 / klo int8 split, same encoding as the stored
-    BSK).  Split from the MAC kernel because the single-kernel body
-    spilled 142-168M of vregs (VMEM is 128M on v5e); the ~30MB/step HBM
-    round-trip costs ~2x40us, far less than the OOM alternative.
+def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
+                      epsP, epsPsh, epsM, epsMsh, kh, kl, d_sing, eps_row,
+                      keh_ref, kel_ref, Bb: int):
+    """ONE prime's combined key: build the per-lane monomial spectra and
+    write K_eff = K_0 + sum_j mon_j * K_j for every column into the
+    output refs in the BSK int16/int8 split encoding.  Runs as one grid
+    step of the combine kernel.
 
-    kat(j, ip) -> (khi, klo) int32 [N, W]; kat_sub(ip) -> [N, per-1, W].
-    d_sing [gf, B]; eps_row [per, B] in {-1, 0, 1}.
-    """
+    Register-pressure notes (the naive body spilled 111M of vregs): the
+    psi-power chains run as lax.scan with the table rows read from the
+    REF per iteration (one loop body instead of 12 unrolled Shoup
+    steps), and each combined column stores straight to the output ref
+    so its intermediates die immediately.
+
+    p2r/p2sr: [1, nbits, N] table refs; kh/kl [N, per, W] int32 subset
+    keys; d_sing [gf, B]; eps_row [per, B] in {-1, 0, 1}."""
     N = cfg.N
     G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
     W = L * G * G * M
     per = 1 << gf
     nbits = (2 * N).bit_length() - 1
 
-    offset = 0
-    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
-        (psi2tr, psi2tshr, epsPr, epsPshr, epsMr, epsMshr) = mon_refs[g]
-        cr = consts_refs[g]
+    mons = {}
+    for i in range(gf):
+        jidx = 1 << (gf - 1 - i)
+        db = d_sing[i]                     # [B]
 
-        def body(gip, carry, offset=offset, cr=cr, psi2tr=psi2tr,
-                 psi2tshr=psi2tshr, epsPr=epsPr, epsPshr=epsPshr,
-                 epsMr=epsMr, epsMshr=epsMshr):
-            p = cr[gip, 0]
-            inv = np.float32(1.0) / p.astype(jnp.float32)
-            psi2t = _ds0(psi2tr, gip)              # [nbits, N]
-            psi2tsh = _ds0(psi2tshr, gip)
-            epsP = _ds0(epsPr, gip)                # [N]
-            epsPsh = _ds0(epsPshr, gip)
-            epsM = _ds0(epsMr, gip)
-            epsMsh = _ds0(epsMshr, gip)
-            ip = np.int32(offset) + gip
+        def chain_body(carry, _, db=db):
+            x, t = carry
+            row = p2r[0, pl.ds(t, 1)][0][:, None]     # [N, 1]
+            rowsh = p2sr[0, pl.ds(t, 1)][0][:, None]
+            xm = _shoup_t(x, row, rowsh, p)
+            x = jnp.where(((db >> t) & 1) == 1, xm, x)
+            return (x, t + np.int32(1)), None
 
-            # singleton monomial spectra from static psi-power chains
-            mons = {}
-            for i in range(gf):
-                jidx = 1 << (gf - 1 - i)
-                db = d_sing[i]                     # [B]
-                x = jnp.where((db & 1) == 1,
-                              psi2t[0][:, None], np.int32(1))
-                for t in range(1, nbits):
-                    xm = _shoup_t(x, psi2t[t][:, None],
-                                  psi2tsh[t][:, None], p)
-                    x = jnp.where(((db >> t) & 1) == 1, xm, x)
-                mons[jidx] = x                     # [N, B]
-            # composite subsets: product + epsilon rounding correction
-            for j in _composites(per):
-                ja, jb = _mb_factor(j)
-                t0 = _fold_t(mons[ja] * mons[jb], p, inv)
-                ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p)
-                em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p)
-                ej = eps_row[j]                    # [B]
-                mons[j] = jnp.where(
-                    ej == 1, ep, jnp.where(ej == -1, em, t0))
+        x0 = jnp.full((N, Bb), np.int32(1), jnp.int32)
+        (x, _), _ = jax.lax.scan(chain_body, (x0, np.int32(0)), None,
+                                 length=nbits)
+        mons[jidx] = x                     # [N, B]
+    for j in _composites(per):
+        ja, jb = _mb_factor(j)
+        t0 = _fold_t(mons[ja] * mons[jb], p, inv)
+        ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p)
+        em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p)
+        ej = eps_row[j]                    # [B]
+        mons[j] = jnp.where(ej == 1, ep, jnp.where(ej == -1, em, t0))
 
-            # monomial 8-bit splits stacked into TWO 3D arrays (fewer
-            # live names; each column combine is one multiply-reduce;
-            # bounds: _check_mb_bounds)
-            mlo_st = jnp.stack(
-                [((mons[j] + 128) & 255) - 128 for j in range(1, per)],
-                axis=1)                            # [N, per-1, B]
-            mhi_st = jnp.stack(
-                [(mons[j] - (((mons[j] + 128) & 255) - 128)) >> 8
-                 for j in range(1, per)], axis=1)
-            kh0, kl0 = kat(0, ip)
-            khs, kls = kat_sub(ip)                 # [N, per-1, W] int32
-            kst = khs * 256 + kls
+    # monomial 8-bit splits stacked (one multiply-reduce per column;
+    # bounds: _check_mb_bounds)
+    mlo_st = jnp.stack(
+        [((mons[j] + 128) & 255) - 128 for j in range(1, per)], axis=1)
+    mhi_st = jnp.stack(
+        [(mons[j] - (((mons[j] + 128) & 255) - 128)) >> 8
+         for j in range(1, per)], axis=1)  # [N, per-1, B]
+    kst = kh[:, 1:, :] * 256 + kl[:, 1:, :]
+    kh0 = kh[:, 0, :]
+    kl0 = kl[:, 0, :]
 
-            khi_cols, klo_cols = [], []
-            for col in range(W):
-                kcol = kst[:, :, col:col + 1]      # [N, per-1, 1]
-                heff = jnp.sum(mhi_st * kcol, axis=1, dtype=jnp.int32)
-                leff = jnp.sum(mlo_st * kcol, axis=1, dtype=jnp.int32)
-                k0 = kh0[:, col:col + 1] * 256 + kl0[:, col:col + 1]
-                t1 = _fold_t(heff, p, inv)
-                keff = _fold_t(t1 * 256 + leff + k0, p, inv)
-                kloe = ((keff + 128) & 255) - 128
-                khi_cols.append(((keff - kloe) >> 8).astype(jnp.int16))
-                klo_cols.append(kloe.astype(jnp.int8))
-            keh_ref[pl.ds(ip, 1)] = jnp.stack(khi_cols, axis=1)[None]
-            kel_ref[pl.ds(ip, 1)] = jnp.stack(klo_cols, axis=1)[None]
-            return carry
-
-        def scan_body(carry, _, body=body):
-            gip, state = carry
-            return (gip + np.int32(1), body(gip, state)), None
-
-        (_, _unused), _ = jax.lax.scan(
-            scan_body, (np.int32(0), np.int32(0)), None, length=len(idx))
-        offset += len(idx)
+    for col in range(W):
+        kcol = kst[:, :, col:col + 1]      # [N, per-1, 1]
+        heff = jnp.sum(mhi_st * kcol, axis=1, dtype=jnp.int32)
+        leff = jnp.sum(mlo_st * kcol, axis=1, dtype=jnp.int32)
+        k0 = kh0[:, col:col + 1] * 256 + kl0[:, col:col + 1]
+        t1 = _fold_t(heff, p, inv)
+        keff = _fold_t(t1 * 256 + leff + k0, p, inv)
+        kloe = ((keff + 128) & 255) - 128
+        keh_ref[0, :, col, :] = ((keff - kloe) >> 8).astype(jnp.int16)
+        kel_ref[0, :, col, :] = kloe.astype(jnp.int8)
 
 
 def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
@@ -488,7 +486,6 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     P = len(cfg.primes)
     nG = len(prime_groups(cfg))
     tabs, consts = build_tables_stacked(cfg)
-    montabs = build_mon_tables_stacked(cfg)
     interp = jax.default_backend() != "tpu"
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -496,38 +493,58 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
     n_tab = 8 * nG
-    n_mon = 6 * nG
 
-    def combine_kernel(*refs):
-        d_ref, e_ref, kh_ref, kl_ref = refs[:4]
-        mon_refs = [tuple(refs[4 + 6 * g + j] for j in range(6))
-                    for g in range(nG)]
-        consts_refs = [refs[4 + n_mon + g] for g in range(nG)]
-        keh_ref = refs[4 + n_mon + nG]
-        kel_ref = refs[4 + n_mon + nG + 1]
-        d_sing_v = d_ref[...]                     # [gf, B]
-        eps_v = e_ref[...]                        # [per, B]
+    # combine kernel: grid over primes — mon tables are shape-uniform
+    # across primes so plain block specs stream one prime per grid step
+    # (a fori-over-primes combine body spilled 113M of vregs)
+    montabs_all, pconst = build_mon_tables_allprime(cfg)
+    nbits = (2 * N).bit_length() - 1
+    z = np.int32(0)
 
-        def kat(j, ip):
-            kh = kh_ref[pl.ds(ip, 1)][0][:, j, :].astype(jnp.int32)
-            kl = kl_ref[pl.ds(ip, 1)][0][:, j, :].astype(jnp.int32)
-            return kh, kl
+    def combine_kernel(d_ref, e_ref, kh_ref, kl_ref, p2r, p2sr, ePr, ePsr,
+                       eMr, eMsr, prr, keh_ref, kel_ref):
+        pval = prr[0, 0, 0]
+        inv = np.float32(1.0) / pval.astype(jnp.float32)
+        _mb_combine_prime(
+            cfg, gf, pval, inv, p2r, p2sr, ePr[0, 0], ePsr[0, 0],
+            eMr[0, 0], eMsr[0, 0], kh_ref[0].astype(jnp.int32),
+            kl_ref[0].astype(jnp.int32),
+            [d_ref[i] for i in range(gf)],
+            [e_ref[j] for j in range(per)], keh_ref, kel_ref, B)
 
-        def kat_sub(ip):
-            kh = kh_ref[pl.ds(ip, 1)][0][:, 1:, :].astype(jnp.int32)
-            kl = kl_ref[pl.ds(ip, 1)][0][:, 1:, :].astype(jnp.int32)
-            return kh, kl
-
-        _mb_combine_math(
-            cfg, gf, mon_refs, consts_refs, kat, kat_sub,
-            [d_sing_v[i] for i in range(gf)],
-            [eps_v[j] for j in range(per)], keh_ref, kel_ref, B)
-
-    mon_flat = [t for g_tabs in montabs for t in g_tabs]
     combine_call = pl.pallas_call(
         combine_kernel,
-        in_specs=[vm] * 4 + [vm] * n_mon + [sm] * nG,
-        out_specs=(vm, vm),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((gf, B), lambda i: (z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((per, B), lambda i: (z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, per, W), lambda i: (i, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, per, W), lambda i: (i, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbits, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbits, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, z, z),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, W, B), lambda i: (i, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W, B), lambda i: (i, z, z, z),
+                         memory_space=pltpu.VMEM),
+        ),
         out_shape=(jax.ShapeDtypeStruct((P, N, W, B), jnp.int16),
                    jax.ShapeDtypeStruct((P, N, W, B), jnp.int8)),
         compiler_params=cparams,
@@ -563,7 +580,7 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
 
     def step(acc, xs):
         d_row, e_row, kh, kl = xs
-        keh, kel = combine_call(d_row, e_row, kh, kl, *mon_flat, *consts)
+        keh, kel = combine_call(d_row, e_row, kh, kl, *montabs_all, pconst)
         return mac_call(keh, kel, acc, *tabs_flat, *consts), None
 
     out, _ = jax.lax.scan(step, acc0_planes, (d_sing, eps, khi, klo))
