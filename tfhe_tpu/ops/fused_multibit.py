@@ -303,17 +303,23 @@ def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
     for i in range(gf):
         jidx = 1 << (gf - 1 - i)
         db = d_sing[i]                     # [B]
+        # carry-only scan (Mosaic's scan lowering rejects xs), counter
+        # FIRST in the carry tuple (the ds index must be recognisable as
+        # the loop index), table rows read from the refs per iteration;
+        # the select bit comes from a traced-amount vector shift
+        # (dynamic_slice on values is unimplemented in Mosaic)
 
         def chain_body(carry, _, db=db):
-            x, t = carry
+            t, x = carry
             row = p2r[0, pl.ds(t, 1)][0][:, None]     # [N, 1]
             rowsh = p2sr[0, pl.ds(t, 1)][0][:, None]
             xm = _shoup_t(x, row, rowsh, p)
-            x = jnp.where(((db >> t) & 1) == 1, xm, x)
-            return (x, t + np.int32(1)), None
+            bit = jax.lax.shift_right_logical(db, t) & np.int32(1)
+            x = jnp.where(bit == 1, xm, x)
+            return (t + np.int32(1), x), None
 
         x0 = jnp.full((N, Bb), np.int32(1), jnp.int32)
-        (x, _), _ = jax.lax.scan(chain_body, (x0, np.int32(0)), None,
+        (_, x), _ = jax.lax.scan(chain_body, (np.int32(0), x0), None,
                                  length=nbits)
         mons[jidx] = x                     # [N, B]
     for j in _composites(per):
@@ -335,6 +341,7 @@ def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
     kh0 = kh[:, 0, :]
     kl0 = kl[:, 0, :]
 
+    khi_cols, klo_cols = [], []
     for col in range(W):
         kcol = kst[:, :, col:col + 1]      # [N, per-1, 1]
         heff = jnp.sum(mhi_st * kcol, axis=1, dtype=jnp.int32)
@@ -343,8 +350,12 @@ def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
         t1 = _fold_t(heff, p, inv)
         keff = _fold_t(t1 * 256 + leff + k0, p, inv)
         kloe = ((keff + 128) & 255) - 128
-        keh_ref[0, :, col, :] = ((keff - kloe) >> 8).astype(jnp.int16)
-        kel_ref[0, :, col, :] = kloe.astype(jnp.int8)
+        # (per-column ref stores lower to an unsupported strided store;
+        # stack once per prime instead)
+        khi_cols.append(((keff - kloe) >> 8).astype(jnp.int16))
+        klo_cols.append(kloe.astype(jnp.int8))
+    keh_ref[0] = jnp.stack(khi_cols, axis=1)
+    kel_ref[0] = jnp.stack(klo_cols, axis=1)
 
 
 def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
@@ -489,7 +500,9 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     interp = jax.default_backend() != "tpu"
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    # the combine body sits right at the edge (112.8M scoped at group-2);
+    # request nearly the physical 128M instead of the classic kernels' 110M
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
     n_tab = 8 * nG
