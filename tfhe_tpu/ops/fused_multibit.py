@@ -277,51 +277,38 @@ def _dec_limbs(cfg: FusedConfig, acc, Bb: int):
     return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb]
 
 
-def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
-                      epsP, epsPsh, epsM, epsMsh, kh, kl, d_sing, eps_row,
-                      keh_ref, kel_ref, Bb: int):
-    """ONE prime's combined key: build the per-lane monomial spectra and
-    write K_eff = K_0 + sum_j mon_j * K_j for every column into the
-    output refs in the BSK int16/int8 split encoding.  Runs as one grid
-    step of the combine kernel.
+def _mb_single_chain(cfg: FusedConfig, p, psi2t, psi2tsh, db, Bb: int):
+    """One singleton monomial spectrum psi^(d*(2k+1)) for one prime, fully
+    unrolled radix-2 select+Shoup chain (a lax.scan form paid ~20us of
+    loop overhead PER ITERATION on the chip — 2969us/step just for the
+    combine kernel; unrolled, the whole chain is ~24 vector ops).
 
-    Register-pressure notes (the naive body spilled 111M of vregs): the
-    psi-power chains run as lax.scan with the table rows read from the
-    REF per iteration (one loop body instead of 12 unrolled Shoup
-    steps), and each combined column stores straight to the output ref
-    so its intermediates die immediately.
+    psi2t/psi2tsh [nbits, N]; db [B] switched degree.  -> [N, B]."""
+    N = cfg.N
+    nbits = (2 * N).bit_length() - 1
+    x = jnp.where((db & 1) == 1, psi2t[0][:, None], np.int32(1))
+    for t in range(1, nbits):
+        xm = _shoup_t(x, psi2t[t][:, None], psi2tsh[t][:, None], p)
+        x = jnp.where(((db >> t) & 1) == 1, xm, x)
+    return x
 
-    p2r/p2sr: [1, nbits, N] table refs; kh/kl [N, per, W] int32 subset
-    keys; d_sing [gf, B]; eps_row [per, B] in {-1, 0, 1}."""
+
+def _mb_compose_combine(cfg: FusedConfig, gf: int, p, inv, epsP, epsPsh,
+                        epsM, epsMsh, msing, kh, kl, eps_row, Bb: int):
+    """Composite monomials (epsilon-corrected products of singletons) +
+    the per-column key combine for ONE prime.
+
+    msing: [gf, N, B] singleton spectra; kh/kl [N, per, W] int32 subset
+    keys; eps_row [per, B] in {-1, 0, 1}.
+    -> (khi [N, W, B] int16, klo [N, W, B] int8) combined-key split."""
     N = cfg.N
     G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
     W = L * G * G * M
     per = 1 << gf
-    nbits = (2 * N).bit_length() - 1
 
     mons = {}
     for i in range(gf):
-        jidx = 1 << (gf - 1 - i)
-        db = d_sing[i]                     # [B]
-        # carry-only scan (Mosaic's scan lowering rejects xs), counter
-        # FIRST in the carry tuple (the ds index must be recognisable as
-        # the loop index), table rows read from the refs per iteration;
-        # the select bit comes from a traced-amount vector shift
-        # (dynamic_slice on values is unimplemented in Mosaic)
-
-        def chain_body(carry, _, db=db):
-            t, x = carry
-            row = p2r[0, pl.ds(t, 1)][0][:, None]     # [N, 1]
-            rowsh = p2sr[0, pl.ds(t, 1)][0][:, None]
-            xm = _shoup_t(x, row, rowsh, p)
-            bit = jax.lax.shift_right_logical(db, t) & np.int32(1)
-            x = jnp.where(bit == 1, xm, x)
-            return (t + np.int32(1), x), None
-
-        x0 = jnp.full((N, Bb), np.int32(1), jnp.int32)
-        (_, x), _ = jax.lax.scan(chain_body, (np.int32(0), x0), None,
-                                 length=nbits)
-        mons[jidx] = x                     # [N, B]
+        mons[1 << (gf - 1 - i)] = msing[i]
     for j in _composites(per):
         ja, jb = _mb_factor(j)
         t0 = _fold_t(mons[ja] * mons[jb], p, inv)
@@ -350,12 +337,9 @@ def _mb_combine_prime(cfg: FusedConfig, gf: int, p, inv, p2r, p2sr,
         t1 = _fold_t(heff, p, inv)
         keff = _fold_t(t1 * 256 + leff + k0, p, inv)
         kloe = ((keff + 128) & 255) - 128
-        # (per-column ref stores lower to an unsupported strided store;
-        # stack once per prime instead)
         khi_cols.append(((keff - kloe) >> 8).astype(jnp.int16))
         klo_cols.append(kloe.astype(jnp.int8))
-    keh_ref[0] = jnp.stack(khi_cols, axis=1)
-    kel_ref[0] = jnp.stack(klo_cols, axis=1)
+    return (jnp.stack(khi_cols, axis=1), jnp.stack(klo_cols, axis=1))
 
 
 def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
@@ -479,9 +463,21 @@ def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
 
 def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
                                d_sing, eps, acc0_planes):
-    """lax.scan over groups; TWO Pallas kernels per step (combine kernel
-    writes the per-step combined key to HBM, MAC kernel consumes it — the
-    single-kernel body spilled 142-168M of vregs against 128M of VMEM).
+    """lax.scan over groups; THREE Pallas kernels per step:
+
+      1. singles kernel, grid (P, gf): one fully-unrolled psi-power chain
+         per grid step -> singleton spectra msing [P, gf, N, B] (HBM);
+      2. combine kernel, grid (P,): epsilon-corrected composites + the
+         per-column key combine -> combined key in the BSK int16/int8
+         split encoding;
+      3. MAC kernel: forward NTT + sum-before-fold MAC + inverse NTT +
+         zero-based streaming CRT (one fori body per prime group).
+
+    The split is forced by the Mosaic register allocator: spill slots
+    scale with live [N, B] SSA values per kernel body, and both the
+    single-kernel and two-kernel forms exceeded the 128M VMEM (210M /
+    165M / 149M attempts — see PERF_NOTES).  scan-form chains compiled
+    but paid ~20us loop overhead per iteration (2969us/step).
 
     khi/klo: [n_groups, P, N, per, W]; d_sing [n_groups, gf, B] int32;
     eps [n_groups, per, B] int32; acc0_planes [G, M, N, B] int32.
@@ -500,46 +496,67 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
     interp = jax.default_backend() != "tpu"
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # the combine body sits right at the edge (112.8M scoped at group-2);
-    # request nearly the physical 128M instead of the classic kernels' 110M
+    # the combine/MAC bodies sit close to the 128M physical VMEM edge
     cparams = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
     n_tab = 8 * nG
 
-    # combine kernel: grid over primes — mon tables are shape-uniform
-    # across primes so plain block specs stream one prime per grid step
-    # (a fori-over-primes combine body spilled 113M of vregs)
     montabs_all, pconst = build_mon_tables_allprime(cfg)
     nbits = (2 * N).bit_length() - 1
     z = np.int32(0)
 
-    def combine_kernel(d_ref, e_ref, kh_ref, kl_ref, p2r, p2sr, ePr, ePsr,
-                       eMr, eMsr, prr, keh_ref, kel_ref):
+    def singles_kernel(d_ref, p2r, p2sr, prr, ms_ref):
+        pval = prr[0, 0, 0]
+        ms_ref[0, 0] = _mb_single_chain(
+            cfg, pval, p2r[0], p2sr[0], d_ref[0, 0], B)
+
+    # d rides as [gf, 1, B] so each (prime, singleton) block keeps its
+    # last two dims equal to the array's (Pallas TPU block-shape rule)
+
+    singles_call = pl.pallas_call(
+        singles_kernel,
+        grid=(P, gf),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda i, j: (j, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbits, N), lambda i, j: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbits, N), lambda i, j: (i, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, z, z),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, B), lambda i, j: (i, j, z, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, gf, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    def combine_kernel(e_ref, ms_ref, kh_ref, kl_ref, ePr, ePsr, eMr,
+                       eMsr, prr, keh_ref, kel_ref):
         pval = prr[0, 0, 0]
         inv = np.float32(1.0) / pval.astype(jnp.float32)
-        _mb_combine_prime(
-            cfg, gf, pval, inv, p2r, p2sr, ePr[0, 0], ePsr[0, 0],
-            eMr[0, 0], eMsr[0, 0], kh_ref[0].astype(jnp.int32),
+        keh, kel = _mb_compose_combine(
+            cfg, gf, pval, inv, ePr[0, 0], ePsr[0, 0], eMr[0, 0],
+            eMsr[0, 0], ms_ref[0], kh_ref[0].astype(jnp.int32),
             kl_ref[0].astype(jnp.int32),
-            [d_ref[i] for i in range(gf)],
-            [e_ref[j] for j in range(per)], keh_ref, kel_ref, B)
+            [e_ref[j] for j in range(per)], B)
+        keh_ref[0] = keh
+        kel_ref[0] = kel
 
     combine_call = pl.pallas_call(
         combine_kernel,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((gf, B), lambda i: (z, z),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((per, B), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, per, W), lambda i: (i, z, z, z),
+            pl.BlockSpec((1, gf, N, B), lambda i: (i, z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, per, W), lambda i: (i, z, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbits, N), lambda i: (i, z, z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbits, N), lambda i: (i, z, z),
+            pl.BlockSpec((1, N, per, W), lambda i: (i, z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
@@ -591,9 +608,13 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
         interpret=interp,
     )
 
+    (p2t, p2ts, ePt, ePts, eMt, eMts) = montabs_all
+
     def step(acc, xs):
         d_row, e_row, kh, kl = xs
-        keh, kel = combine_call(d_row, e_row, kh, kl, *montabs_all, pconst)
+        msing = singles_call(d_row[:, None], p2t, p2ts, pconst)
+        keh, kel = combine_call(e_row, msing, kh, kl, ePt, ePts, eMt,
+                                eMts, pconst)
         return mac_call(keh, kel, acc, *tabs_flat, *consts), None
 
     out, _ = jax.lax.scan(step, acc0_planes, (d_sing, eps, khi, klo))
