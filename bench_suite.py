@@ -177,7 +177,11 @@ def bench_strings(real: bool):
 
     # batched contains (fused single-computation path over B strings):
     # the latency numbers above are bound by PBS depth x blind-rotation
-    # latency; this is the TPU's throughput framing of the same op
+    # latency; this is the TPU's throughput framing of the same op.
+    # Gated: the B=32 real-params program wedged the remote compile for
+    # 45+ min (round-4 postmortem) — opt in with BENCH_STRINGS_BATCH=1.
+    if real and os.environ.get("BENCH_STRINGS_BATCH") != "1":
+        return
     import functools
 
     import jax
