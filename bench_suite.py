@@ -57,7 +57,7 @@ def bench_boolean(real: bool):
     params = DEFAULT_PARAMETERS_KS_PBS if real else BOOLEAN_TEST_PARAMETERS
     cks, sks = boolean.gen_keys(params, seed=1)
     best, best_batch = 0.0, 0
-    for batch in ((64, 256, 512) if real else (64,)):
+    for batch in ((64, 256, 512, 1024) if real else (64,)):
         a = cks.encrypt_batch(np.ones(batch, dtype=bool))
         b = cks.encrypt_batch(np.zeros(batch, dtype=bool))
         dt = _time(lambda: sks.and_batch(a, b))
