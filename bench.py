@@ -58,9 +58,13 @@ def _measure(params, batch: int, iters: int, platform: str):
     t0 = time.time()
     out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
     compile_s = time.time() - t0
+    # enqueue all iterations, then block once: the axon tunnel costs ~26 ms
+    # per blocking fetch (PERF_NOTES.md), which is dispatch overhead, not
+    # device throughput — the device executes every enqueued program
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(sks.ksk, sks.bsk, lut.acc, data))
+        out = fn(sks.ksk, sks.bsk, lut.acc, data)
+    out = jax.block_until_ready(out)
     elapsed = time.time() - t0
     pbs_per_s = batch * iters / elapsed
 

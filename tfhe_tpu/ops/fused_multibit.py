@@ -277,7 +277,8 @@ def _dec_limbs(cfg: FusedConfig, acc, Bb: int):
     return jnp.stack(X8s, axis=0)                 # [LJ, R*ld, C*Bb]
 
 
-def _mb_single_chain(cfg: FusedConfig, p, psi2t, psi2tsh, db, Bb: int):
+def _mb_single_chain(cfg: FusedConfig, p, inv, psi2t, psi2tsh, db,
+                     Bb: int):
     """One singleton monomial spectrum psi^(d*(2k+1)) for one prime, fully
     unrolled radix-2 select+Shoup chain (a lax.scan form paid ~20us of
     loop overhead PER ITERATION on the chip — 2969us/step just for the
@@ -288,7 +289,7 @@ def _mb_single_chain(cfg: FusedConfig, p, psi2t, psi2tsh, db, Bb: int):
     nbits = (2 * N).bit_length() - 1
     x = jnp.where((db & 1) == 1, psi2t[0][:, None], np.int32(1))
     for t in range(1, nbits):
-        xm = _shoup_t(x, psi2t[t][:, None], psi2tsh[t][:, None], p)
+        xm = _shoup_t(x, psi2t[t][:, None], psi2tsh[t][:, None], p, inv)
         x = jnp.where(((db >> t) & 1) == 1, xm, x)
     return x
 
@@ -312,8 +313,8 @@ def _mb_compose_combine(cfg: FusedConfig, gf: int, p, inv, epsP, epsPsh,
     for j in _composites(per):
         ja, jb = _mb_factor(j)
         t0 = _fold_t(mons[ja] * mons[jb], p, inv)
-        ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p)
-        em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p)
+        ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p, inv)
+        em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p, inv)
         ej = eps_row[j]                    # [B]
         mons[j] = jnp.where(ej == 1, ep, jnp.where(ej == -1, em, t0))
 
@@ -508,8 +509,9 @@ def fused_multibit_rotate_scan(cfg: FusedConfig, gf: int, khi, klo,
 
     def singles_kernel(d_ref, p2r, p2sr, prr, ms_ref):
         pval = prr[0, 0, 0]
+        inv = np.float32(1.0) / pval.astype(jnp.float32)
         ms_ref[0, 0] = _mb_single_chain(
-            cfg, pval, p2r[0], p2sr[0], d_ref[0, 0], B)
+            cfg, pval, inv, p2r[0], p2sr[0], d_ref[0, 0], B)
 
     # d rides as [gf, 1, B] so each (prime, singleton) block keeps its
     # last two dims equal to the array's (Pallas TPU block-shape rule)

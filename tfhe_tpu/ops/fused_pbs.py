@@ -113,21 +113,25 @@ def make_config(N: int, glwe_size: int, levels: int, base_log: int,
     nlx = []
     for p in plist:
         n_ = 1
-        while p // 2 + p // 512 >= (1 << _limb_cover_bits(n_)):
+        while p // 2 + p // 64 >= (1 << _limb_cover_bits(n_)):
             n_ += 1
         nlx.append(n_)
-    # MAC fold bounds (sum-before-fold): folding an input of magnitude X
-    # yields a representative within p/2 + X*2^-22.4 of zero (three f32
-    # roundings in q = round(f32(X) * f32(1/p))), and the mod-p class is
-    # exact.  The drift must stay inside the per-prime limb-cover margin
-    # p//512, i.e. X < (p//512) << 22 (with the 2^-0.4 safety), and X must
-    # fit int32.  The forward-NTT fold output (spec) can itself carry the
-    # p//512 drift, so the spec magnitude is p/2 + p//512 in both sums:
-    # |sum_lj spec*khi| <= LJ*(p/2+p//512)*(p/512+128) and the lo combine
-    # |t1*256 + sum_lj spec*klo| <= (p/2+p//512)*256 + LJ*(p/2+p//512)*128.
+    # Fold drift model: folding an input of magnitude X yields a
+    # representative within p/2 + X*2^-22.4 of zero (three f32 roundings in
+    # q = round(f32(X) * f32(1/p))), and the mod-p class is exact.
+    #
+    # The lazy horner (no initial fold; see _horner) folds arguments up to
+    # X = 257 * K * 2^14 with K <= R*max(ld, nlx), so residue drift is
+    # bounded by 257*K*2^14*2^-22.4 — asserted against the limb-cover
+    # margin p//64 below.  The MAC sum-before-fold drift must also stay
+    # inside p//64: with spec magnitude smag = p/2 + p//64,
+    # |sum_lj spec*khi| <= LJ*smag*(p/512+128) and the lo combine
+    # |t1*256 + sum_lj spec*klo| <= smag*256 + LJ*smag*128.
+    horner_drift = int(257 * R * max(ld, max(nlx)) * (1 << 14) * 2 ** -22.4)
     for p in plist:
-        cap = min((p // 512) << 22, 1 << 30)
-        smag = p // 2 + p // 512
+        assert horner_drift <= p // 64, "lazy-horner drift exceeds margin"
+        cap = min((p // 64) << 22, 1 << 30)
+        smag = p // 2 + p // 64
         x_hi = LJ * smag * (p // 512 + 128)
         x_lo = smag * 256 + LJ * smag * 128
         assert x_hi < cap, "MAC hi partial-product sum exceeds fold bound"
@@ -278,13 +282,14 @@ def _fold(x, p: int):
 
 
 def _shoup(a, b, bs, p: int):
+    """|a| <= p/2 + p/64, |b| <= p/2 -> a*b mod p within p/2 + 1.
+
+    One f32 round-fold replaces the former 4-way where-correction chain:
+    q is within ~2 of a*b/p, so |r| <= 2.6p < 2^19 sits deep inside the
+    fold's exact zone."""
     q = jax.lax.shift_right_arithmetic(a * bs, np.int32(16))
     r = a * b - q * np.int32(p)
-    half = p // 2
-    r = jnp.where(r > half, r - p, r)
-    r = jnp.where(r > half, r - p, r)
-    r = jnp.where(r < -half, r + p, r)
-    return jnp.where(r < -half, r + p, r)
+    return _fold(r, p)
 
 
 def _limb_rows(x, nlimb: int):
@@ -302,12 +307,18 @@ def _limb_rows(x, nlimb: int):
 
 
 def _horner(Y, nl: int, K: int, p: int):
-    """[(nl * K), Cols] int32 limb-plane matmul output -> [K, Cols] balanced."""
+    """[(nl * K), Cols] int32 limb-plane matmul output -> [K, Cols] within
+    p/2 + p/64 of balanced.
+
+    Lazy: the top plane enters UNFOLDED (|Yv| <= K_mm * 2^14 <= 2^21.6, so
+    |h*256 + Yv| <= 2^29.7 fits int32 and stays inside the f32 fold's
+    relaxed-drift zone — see the drift model in make_config).  Saves one
+    full-plane fold per horner vs the eager chain."""
     Yv = Y.reshape(nl, K, Y.shape[-1])
-    h = _fold(Yv[nl - 1], p)
+    h = Yv[nl - 1]
     for j in range(nl - 2, -1, -1):
         h = _fold(h * 256 + Yv[j], p)
-    return h
+    return h if nl > 1 else _fold(h, p)
 
 
 def _ult(a, b):
@@ -446,22 +457,20 @@ def _fold_t(x, p, inv):
     return x - q * p
 
 
-def _shoup_t(a, b, bs, p):
+def _shoup_t(a, b, bs, p, inv):
+    """Traced-modulus _shoup; see the drift notes there."""
     q = jax.lax.shift_right_arithmetic(a * bs, np.int32(16))
     r = a * b - q * p
-    half = p >> 1
-    r = jnp.where(r > half, r - p, r)
-    r = jnp.where(r > half, r - p, r)
-    r = jnp.where(r < -half, r + p, r)
-    return jnp.where(r < -half, r + p, r)
+    return _fold_t(r, p, inv)
 
 
 def _horner_t(Y, nl: int, K: int, p, inv):
+    """Traced-modulus lazy horner; see _horner for the drift argument."""
     Yv = Y.reshape(nl, K, Y.shape[-1])
-    h = _fold_t(Yv[nl - 1], p, inv)
+    h = Yv[nl - 1]
     for j in range(nl - 2, -1, -1):
         h = _fold_t(h * 256 + Yv[j], p, inv)
-    return h
+    return h if nl > 1 else _fold_t(h, p, inv)
 
 
 def _mulacc_c16_k64_t(lo, hi, c, k0, k1, k2, k3):
@@ -766,7 +775,7 @@ def _forward_prime_t(X8_lj, W1A8, W2B8, TC, TCsh, nl: int, nlx: int,
     YA = _dot8(W1A8, X8_lj)
     y = _horner_t(YA, nl, K1, p, inv)
     y3 = y.reshape(K1, C, Bb)
-    y3 = _shoup_t(y3, TC[:, :, None], TCsh[:, :, None], p)
+    y3 = _shoup_t(y3, TC[:, :, None], TCsh[:, :, None], p, inv)
     yt = jnp.transpose(y3, (1, 0, 2)).reshape(C, K1 * Bb)
     Y8 = _limb_rows(yt, nlx)
     S = _dot8(W2B8, Y8)
@@ -781,7 +790,7 @@ def _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh, nl: int, nlx: int,
     U = _dot8(W2I8, S8)
     u = _horner_t(U, nl, C, p, inv)
     u3 = u.reshape(C, K1, Bb)
-    u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
+    u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p, inv)
     ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * Bb)
     U8 = _limb_rows(ut, nlx)
     V = _dot8(W1I8, U8)
@@ -888,7 +897,7 @@ def _primes_crt_math_wide(cfg: FusedConfig, tab_refs, consts_refs, kh_at,
             U = _dot8(W2I8, S8)
             u = _horner_t(U, nl, C, p, inv)        # [C, R*OM*B]
             u3 = u.reshape(C, K1, OM * Bb)
-            u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p)
+            u3 = _shoup_t(u3, TIC[:, :, None], TICsh[:, :, None], p, inv)
             ut = jnp.transpose(u3, (1, 0, 2)).reshape(K1, C * OM * Bb)
             U8 = _limb_rows(ut, nlx)
             V = _dot8(W1I8, U8)
@@ -1694,17 +1703,46 @@ def prepare_bsk_fused(bsk_standard: np.ndarray, base_log: int,
     )
 
 
-def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
-    """lut [B, G, N] or [G, N] uint, lwe [B, n+1] uint -> [B, G, N] uint.
-
-    Bit-identical to ops/polymul_ntt-based blind_rotate (ref:
-    bootstrap.rs:242-331); the heavy loop runs in the fused Pallas kernel.
-    """
+def _blind_rotate_fused_chunk(bsk: PreparedBskFused, lut, lwe):
+    """One lane-aligned batch chunk through the fused kernel."""
     from . import polymul
     from ..core.pbs import modulus_switch
 
     cfg = bsk.cfg
     bits, N = cfg.bits, cfg.N
+    b_hat = modulus_switch(lwe[:, -1], N, bits=bits)      # [B]
+    acc0 = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
+    ahat = modulus_switch(lwe[:, :-1], N, bits=bits)      # [B, n]
+    ahat = jnp.transpose(ahat) & np.int32(2 * N - 1)      # [n, B]
+
+    acc0_planes = _to_planes(acc0, bits)
+    out_planes = fused_blind_rotate_planes(
+        cfg, bsk.tables, bsk.khi, bsk.klo, ahat, acc0_planes)
+    return _from_planes(out_planes, bits)
+
+
+def _batch_chunk_max() -> int:
+    """Per-kernel batch ceiling.  The kernel's VMEM working set scales with
+    B; B=128 is the measured v5e sweet spot (B=256 in one kernel ran at
+    349 vs 421 PBS/s from VMEM spills — PERF_NOTES.md round 4), so larger
+    batches run as a lax.map over 128-wide chunks: throughput scales
+    linearly and the compiled program holds ONE copy of the step kernel
+    regardless of batch (this is also what un-wedged the batch-64 radix
+    and batched-strings compiles, BENCH_SUITE_r04.json:20)."""
+    import os
+
+    return int(os.environ.get("TFHE_TPU_PBS_BMAX", 128))
+
+
+def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
+    """lut [B, G, N] or [G, N] uint, lwe [B, n+1] uint -> [B, G, N] uint.
+
+    Bit-identical to ops/polymul_ntt-based blind_rotate (ref:
+    bootstrap.rs:242-331); the heavy loop runs in the fused Pallas kernel,
+    chunked over the batch axis (see _batch_chunk_max).
+    """
+    cfg = bsk.cfg
+    bits = cfg.bits
     dt = jnp.uint64 if bits == 64 else jnp.uint32
     lwe = jnp.asarray(lwe, dt)
     B0 = lwe.shape[0]
@@ -1722,12 +1760,13 @@ def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
         lut = jnp.concatenate(
             [lut, jnp.broadcast_to(lut[:1], (B - B0,) + lut.shape[1:])])
 
-    b_hat = modulus_switch(lwe[:, -1], N, bits=bits)      # [B]
-    acc0 = polymul.monomial_div(lut, b_hat[:, None], N, bits=bits)
-    ahat = modulus_switch(lwe[:, :-1], N, bits=bits)      # [B, n]
-    ahat = jnp.transpose(ahat) & np.int32(2 * N - 1)      # [n, B]
-
-    acc0_planes = _to_planes(acc0, bits)
-    out_planes = fused_blind_rotate_planes(
-        cfg, bsk.tables, bsk.khi, bsk.klo, ahat, acc0_planes)
-    return _from_planes(out_planes, bits)[:B0]
+    bmax = _batch_chunk_max()
+    if B > bmax and B % bmax == 0:
+        k = B // bmax
+        lut_c = lut.reshape((k, bmax) + lut.shape[1:])
+        lwe_c = lwe.reshape((k, bmax) + lwe.shape[1:])
+        out = jax.lax.map(
+            lambda xs: _blind_rotate_fused_chunk(bsk, xs[0], xs[1]),
+            (lut_c, lwe_c))
+        return out.reshape((B,) + out.shape[2:])[:B0]
+    return _blind_rotate_fused_chunk(bsk, lut, lwe)[:B0]

@@ -173,10 +173,126 @@ class StringServerKey(SplitOps):
             a_stack, b_stack, self._sign_blut())
         return self._tree_reduce(signs, n, self._resolve_blut())
 
+    def _cached_lut(self, key, build):
+        cache = getattr(self, "_lut_cache", None)
+        if cache is None:
+            cache = self._lut_cache = {}
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
+    def _beq_blut(self):
+        return self._cached_lut("beq", lambda: (
+            self.sks.generate_lookup_table_bivariate(
+                lambda x, y: int(x == y))))
+
     def _char_eq(self, a_stack, b_stack, n) -> ShortintBatch:
-        signs = self._char_signs(a_stack, b_stack, n)
-        lut = self.sks.generate_lookup_table(lambda s: int(s == 0))
-        return self.sks.apply_lookup_table_batch(signs, lut)
+        """Per-char 0/1 equality in TWO PBS rounds: one bivariate block-eq
+        wave, then one sum-threshold wave over the nb bits per char
+        (carry-space sums of fresh bools stay inside max_noise_level).
+        Replaces the 4-round sign/resolve-tree/==0 chain — the TPU
+        depth-optimal form of the reference's per-char eq
+        (ref: fhe_strings server_key/comparisons.rs eq loops)."""
+        sks = self.sks
+        beq = sks.unchecked_bivariate_batch(a_stack, b_stack,
+                                            self._beq_blut())
+        nb = self.nb
+        if nb == 1:
+            return beq
+        assert nb <= sks.max_noise_level, "sum-packed char eq needs nb bits"
+        arr = np.arange(n * nb).reshape(n, nb)
+        s = _take(beq, arr[:, 0])
+        for k in range(1, nb):
+            s = sks.unchecked_add_batch(s, _take(beq, arr[:, k]))
+        lut = self._cached_lut(("sum_eq", nb), lambda: (
+            sks.generate_lookup_table(lambda x: int(x == nb))))
+        return sks.apply_lookup_table_batch(s, lut)
+
+    def _bool_reduce(self, b: ShortintBatch, num: int, op: str
+                     ) -> ShortintBatch:
+        """Grouped AND/OR over 0/1 blocks via carry-space sum-thresholds.
+
+        Each round collapses min(max_noise_level, m) bools per chunk with
+        ONE PBS (sum of k unit-noise bools has noise level k and degree k,
+        both in contract), so fan-in is 5 instead of the bivariate tree's
+        2 — fewer rounds AND fewer PBS than pairwise folding
+        (ref: pattern.rs:106-115 folds pairwise)."""
+        sks = self.sks
+        m = len(b) // num
+        cap = int(sks.max_noise_level)
+        fillv = 1 if op == "and" else 0
+        while m > 1:
+            c = min(cap, m)
+            pad = (-m) % c
+            if pad:
+                fills = sks.trivial_batch(
+                    np.full(num * pad, fillv, dtype=_U64), num * pad)
+                rows = []
+                for g in range(num):
+                    rows.append(_take(b, range(g * m, (g + 1) * m)))
+                    rows.append(_take(fills, range(g * pad, (g + 1) * pad)))
+                b = _cat(rows)
+                m += pad
+            arr = np.arange(num * m).reshape(num * (m // c), c)
+            s = _take(b, arr[:, 0])
+            for k in range(1, c):
+                s = sks.unchecked_add_batch(s, _take(b, arr[:, k]))
+            if op == "and":
+                lut = self._cached_lut(("and_sum", c), lambda c=c: (
+                    sks.generate_lookup_table(lambda x: int(x == c))))
+            else:
+                lut = self._cached_lut(("or_sum", c), lambda c=c: (
+                    sks.generate_lookup_table(lambda x: int(x != 0))))
+            b = sks.apply_lookup_table_batch(s, lut)
+            m //= c
+        return b
+
+    def _prefix_or(self, b: ShortintBatch, reverse: bool = False
+                   ) -> ShortintBatch:
+        """Inclusive prefix-OR of a 0/1 block vector in ~3 PBS rounds.
+
+        Within chunks of max_noise_level the prefix sums are linear
+        (noise <= cap), one threshold LUT gives intra-chunk prefix-ORs;
+        exclusive chunk prefixes reduce recursively; one bivariate OR
+        merges.  Replaces the log2(n)-round Hillis-Steele _scan for the
+        boolean-OR case (find/rfind hot path)."""
+        sks = self.sks
+        n = len(b)
+        if n == 1:
+            return _take(b, [0])
+        if reverse:
+            rev = np.arange(n - 1, -1, -1)
+            return _take(self._prefix_or(_take(b, rev)), rev)
+        cap = int(sks.max_noise_level)
+        or_lut = self._cached_lut(("or_sum", cap), lambda: (
+            sks.generate_lookup_table(lambda x: int(x != 0))))
+        # intra-chunk inclusive prefix sums (linear)
+        s = _take(b, np.arange(n))
+        for k in range(1, cap):
+            idx = np.asarray([i for i in range(n) if i % cap >= k])
+            if idx.size == 0:
+                break
+            # s[i] += b[i - k]: after all k, s[i] = sum of b over its chunk
+            # prefix (i % cap + 1 terms, noise <= cap)
+            add = sks.unchecked_add_batch(_take(s, idx), _take(b, idx - k))
+            s.data[idx] = add.data
+            s.degrees[idx] = add.degrees
+            s.noise[idx] = add.noise
+        pc = sks.apply_lookup_table_batch(s, or_lut)       # [n]
+        nchunk = -(-n // cap)
+        if nchunk == 1:
+            return pc
+        ends = np.minimum(np.arange(1, nchunk + 1) * cap - 1, n - 1)
+        t = _take(pc, ends)                                # chunk ORs
+        tp = self._prefix_or(t)                            # inclusive
+        # exclusive shift: chunk j sees OR of chunks < j
+        prev = _take(tp, np.maximum(np.arange(nchunk) - 1, 0))
+        zero = sks.trivial_batch(np.zeros(1, dtype=_U64), 1)
+        prev.data[0] = zero.data[0]
+        prev.degrees[0] = 0
+        prev.noise[0] = 0
+        prev_rep = _take(prev, np.repeat(np.arange(nchunk), cap)[:n])
+        return sks.unchecked_bivariate_batch(pc, prev_rep, self._or_blut())
 
     def _and_blut(self):
         # explicit 0/1 output: keeps the tracked degree at 1 for boolean
@@ -189,8 +305,7 @@ class StringServerKey(SplitOps):
             lambda a, b: int(bool(a) or bool(b)))
 
     def _bool_fold(self, bools: ShortintBatch, op: str) -> BooleanBlock:
-        blut = self._and_blut() if op == "and" else self._or_blut()
-        return BooleanBlock(self._tree_reduce(bools, 1, blut))
+        return BooleanBlock(self._bool_reduce(bools, 1, op))
 
     def _bools_count(self, bools: ShortintBatch) -> RadixCiphertext:
         """Sum of 0/1 blocks as a radix integer."""
@@ -378,7 +493,7 @@ class StringServerKey(SplitOps):
             is_pad_rep = _take(is_pad, np.tile(np.arange(plen), len(offsets)))
             eqs = self.sks.unchecked_bivariate_batch(
                 is_pad_rep, eqs, self._or_blut())
-        return self._tree_reduce(eqs, len(offsets), self._and_blut())
+        return self._bool_reduce(eqs, len(offsets), "and")
 
     def contains(self, s: FheString, pattern: Pattern) -> BooleanBlock:
         """(ref: contains.rs:18-41)"""
@@ -434,7 +549,7 @@ class StringServerKey(SplitOps):
     def _first_matches(self, matches: ShortintBatch, reverse: bool = False
                        ) -> ShortintBatch:
         """Isolate the first (or last) set bit of a 0/1 vector."""
-        seen = self._scan(matches, 1, self._or_blut(), reverse=reverse)
+        seen = self._prefix_or(matches, reverse=reverse)
         # inclusive scan; shift to exclusive
         if reverse:
             before = self.integer_key._shift_blocks_down(seen, 1)
