@@ -56,6 +56,14 @@ def bench_boolean(real: bool):
 
     params = DEFAULT_PARAMETERS_KS_PBS if real else BOOLEAN_TEST_PARAMETERS
     cks, sks = boolean.gen_keys(params, seed=1)
+    # single-gate latency (the reference's headline framing,
+    # benchmarks.md:13: 9.19 ms on CPU — the TPU loses this row and wins
+    # on batched throughput; both stated plainly)
+    a1 = cks.encrypt_batch(np.ones(1, dtype=bool))
+    b1 = cks.encrypt_batch(np.zeros(1, dtype=bool))
+    dt = _time(lambda: sks.and_batch(a1, b1))
+    _record(f"boolean_gate_single::{params.name}", dt * 1e3, "ms",
+            baseline_ms=9.19)
     best, best_batch = 0.0, 0
     for batch in ((64, 256, 512, 1024) if real else (64,)):
         a = cks.encrypt_batch(np.ones(batch, dtype=bool))
@@ -83,7 +91,9 @@ def bench_shortint(real: bool):
     cks, sks = shortint.gen_keys(params, seed=2, cache_dir=".keycache")
     lut = sks.generate_lookup_table(lambda x: (3 * x) % 4)
     fn = jax.jit(keyswitch_then_pbs)
-    for batch in (64, 256):
+    # batch sweep: with the chunked kernel (ops/fused_pbs.py
+    # _batch_chunk_max) throughput must grow monotonically 64 -> 512
+    for batch in ((1, 64, 128, 256, 512) if real else (1, 64)):
         ct = cks.encrypt_batch(np.arange(batch) % 4)
         data = jnp.asarray(ct.data)
         dt = _time(lambda: jax.block_until_ready(
@@ -118,42 +128,32 @@ def bench_integer(real: bool):
         _record(f"fheuint32_{opname}::{params.name}", dt * 1e3, "ms",
                 baseline_ms=baseline)
 
-    # batch-64 add throughput (one compiled program over [64, 16, sz]):
-    # the latency table above is depth-bound; this is the chip's per-add
-    # throughput vs ONE reference core running the same op end to end
-    # (~112 sequential+parallel PBS at 16.6 ms each ~= 1.86 s/core)
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
+    # batch-64 throughput through the wave path (integer/batched.py): the
+    # only compiled program is the shared ks+pbs wave, so batch size never
+    # hits a compile cliff (the round-4 single-program batch-64 add
+    # OOM-killed the remote compiler).  Baseline framing: ONE reference
+    # core running the same op end to end (132/333/57.4 ms,
+    # tfhe/docs/getting_started/benchmarks.md:16-18).
     from tfhe_tpu import integer
-    from tfhe_tpu.parallel.fused import fused_radix_add
+    from tfhe_tpu.integer.batched import (BatchedRadixOps,
+                                          encrypt_batch_radix)
 
     icks, isks = integer.gen_keys_radix(params, 16, seed=99,
                                         cache_dir=".keycache")
-    sks_i = isks.key
-    msg = sks_i.message_modulus
-    accs = (
-        sks_i.generate_lookup_table(
-            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0)).acc,
-        sks_i.generate_lookup_table_bivariate(
-            lambda cur, prev: min(prev if cur == 1 else cur, 2)).acc.acc,
-        sks_i.generate_lookup_table(lambda x: 1 if x == 2 else 0).acc,
-        sks_i.generate_lookup_table(lambda x: x % msg).acc,
-    )
+    ops = BatchedRadixOps(isks.key)
     B = 64 if real else 4
-    one = icks.encrypt(123456789).blocks.data
-    av = jnp.asarray(np.broadcast_to(one[None], (B,) + one.shape))
-    bv = jnp.asarray(np.broadcast_to(
-        icks.encrypt(987654321).blocks.data[None], (B,) + one.shape))
-    fn = jax.jit(functools.partial(fused_radix_add, message_modulus=msg))
-    dt = _time(lambda: jax.block_until_ready(
-        fn(sks_i.ksk, sks_i.bsk, *accs, av, bv)), iters=1)
-    single_core_add_s = 112 * 16.6e-3
-    _record(f"fheuint32_add_batch{B}::{params.name}", B / dt, "adds/s",
-            batch=B, per_add_ms=round(dt / B * 1e3, 1),
-            baseline_rate=1.0 / single_core_add_s)
+    rng = np.random.default_rng(5)
+    av = encrypt_batch_radix(icks, rng.integers(0, 2**32, B).tolist(), 16)
+    bv = encrypt_batch_radix(icks, rng.integers(0, 2**32, B).tolist(), 16)
+    for opname, fn, baseline_s in [
+        ("add", lambda: ops.add(av, bv), 132e-3),
+        ("eq", lambda: ops.eq(av, bv), 57.4e-3),
+        ("mul", lambda: ops.mul(av, bv), 333e-3),
+    ]:
+        dt = _time(fn, iters=1)
+        _record(f"fheuint32_{opname}_batch{B}::{params.name}", B / dt,
+                "ops/s", batch=B, per_op_ms=round(dt / B * 1e3, 1),
+                baseline_rate=1.0 / baseline_s)
 
 
 def bench_strings(real: bool):
@@ -175,60 +175,26 @@ def bench_strings(real: bool):
     _record(f"strings_find_len11::{tag}", dt * 1e3, "ms",
             baseline_ms=78.6)  # fhe_strings/Readme.md:32
 
-    # batched contains (fused single-computation path over B strings):
+    # batched contains/find (strings/batched.py wave path over B strings):
     # the latency numbers above are bound by PBS depth x blind-rotation
-    # latency; this is the TPU's throughput framing of the same op.
-    # Gated: the B=32 real-params program wedged the remote compile for
-    # 45+ min (round-4 postmortem) — opt in with BENCH_STRINGS_BATCH=1.
-    if real and os.environ.get("BENCH_STRINGS_BATCH") != "1":
-        return
-    import functools
+    # latency; this is the TPU's throughput framing of the same op.  The
+    # round-4 single-program formulation wedged the remote compiler; the
+    # wave path reuses the already-compiled ks+pbs executables.
+    from tfhe_tpu.strings.batched import (BatchedStringOps,
+                                          encrypt_batch_strings)
 
-    import jax
-    import jax.numpy as jnp
-
-    from tfhe_tpu.parallel.fused import fused_strings_contains
-    from tfhe_tpu.strings.client_key import NUMBER_BLOCKS
-
-    sks_s = sks.integer_key.key
-    msg = sks_s.message_modulus
-    B = 32 if real else 4
+    bops = BatchedStringOps(sks.sks)
+    B = 64 if real else 4
     texts = (["hello world", "hello_worxd"] * B)[:B]
-    nchars = 11
-    pat_clear = "world"
-    pat_digits = tuple(
-        tuple((ord(c) // msg**d) % msg for d in range(NUMBER_BLOCKS))
-        for c in pat_clear)
-    accs = (
-        sks_s.generate_lookup_table_bivariate(
-            lambda x, y: 0 if x == y else (1 if x < y else 2)).acc.acc,
-        sks_s.generate_lookup_table_bivariate(
-            lambda high, low: min(low if high == 0 else high, 2)).acc.acc,
-        sks_s.generate_lookup_table(lambda v: int(v == 0)).acc,
-        sks_s.generate_lookup_table_bivariate(
-            lambda x, y: int(bool(x) and bool(y))).acc.acc,
-        sks_s.generate_lookup_table_bivariate(
-            lambda x, y: int(bool(x) or bool(y))).acc.acc,
-    )
-
-    def enc_text(t):
-        chars = [ord(c) for c in t] + [0] * (nchars - len(t))
-        digs = [(c // msg**d) % msg
-                for c in chars for d in range(NUMBER_BLOCKS)]
-        from tfhe_tpu.strings.client_key import NUMBER_BLOCKS as nb_
-
-        return cks.integer_key.key.encrypt_batch(
-            np.asarray(digs, np.uint64)).data.reshape(nchars, nb_, -1)
-
-    batch = jnp.asarray(np.stack([enc_text(t) for t in texts]))
-    fn = jax.jit(functools.partial(
-        fused_strings_contains, pat_digits=pat_digits,
-        message_modulus=msg, delta=sks_s.delta))
-    dt = _time(lambda: jax.block_until_ready(
-        fn(sks_s.ksk, sks_s.bsk, *accs, batch)), iters=2)
-    _record(f"strings_contains_batch{B}::{tag}", dt / B * 1e3,
-            "ms/string", baseline_ms=78.6, batch=B,
-            total_ms=round(dt * 1e3, 1))
+    blocks = encrypt_batch_strings(cks, texts, 11)
+    dt = _time(lambda: bops.contains(blocks, "world"), iters=2)
+    _record(f"strings_contains_batch{B}::{tag}", B / dt, "ops/s",
+            baseline_ms=None, batch=B, per_op_ms=round(dt / B * 1e3, 2),
+            baseline_rate=1000.0 / 78.6)
+    dt = _time(lambda: bops.find(blocks, "world"), iters=2)
+    _record(f"strings_find_batch{B}::{tag}", B / dt, "ops/s",
+            batch=B, per_op_ms=round(dt / B * 1e3, 2),
+            baseline_rate=1000.0 / 78.6)
 
 
 def bench_keygen(real: bool):

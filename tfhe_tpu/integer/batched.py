@@ -1,0 +1,264 @@
+"""Host-scheduled batched radix ops: one fused ks+pbs wave per PBS round.
+
+The single-program formulation (integer/fused_dispatch.py + parallel/
+fused.py) traces every PBS round of a radix op into ONE XLA program; at
+batch 64 that program OOM-killed the remote Mosaic compile helper
+(BENCH_SUITE_r04.json:20).  This module inverts the structure: the only
+compiled device program is the shared keyswitch+PBS wave (the same
+bucket-shaped executables the shortint layer uses, batch-chunked at the
+kernel's B=128 sweet spot), and a radix op is a host-side schedule of
+waves over [B, nb] block grids with linear torus glue (adds / shifts /
+bivariate packing) between rounds.  Any batch size reuses the same
+handful of compiled shapes — no giant programs, no compile cliffs.
+
+Reference schedules mirrored:
+- add/sub/neg: Hillis-Steele single-carry propagation
+  (ref: integer/server_key/radix_parallel/add.rs:518-603)
+- mul: bivariate block products + carry-save column reduction
+  (ref: radix_parallel/mul.rs:329-464)
+- eq/ne: sum-packed block equality (carry-space sums of fresh 0/1 blocks
+  replace the pairwise AND tree — depth log_5 instead of log_2)
+- lt/le/gt/ge: 3-state sign blocks + MSB-first resolve tree
+  (ref: integer/server_key/comparator.rs:31-60)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+class BatchedRadixOps:
+    """Batched radix arithmetic over raw block grids.
+
+    Ciphertext format: np.uint64 [B, nb, lwe_size] of CLEAN radix blocks
+    (degree < message_modulus), little-endian block order — the same
+    layout RadixCiphertext.blocks.data.reshape(nb, -1) stacks to.
+    """
+
+    def __init__(self, sks):
+        self.sks = sks                      # shortint ServerKey
+        self.msg = sks.message_modulus
+        self.cap = int(sks.max_noise_level)
+        self._luts = {}
+
+    # -- wave primitive ---------------------------------------------------
+
+    def _lut(self, key, f):
+        if key not in self._luts:
+            self._luts[key] = self.sks.generate_lookup_table(f)
+        return self._luts[key]
+
+    def _wave(self, data, lut_key, f):
+        """One fused ks+pbs device wave over [..., sz] torus rows."""
+        lut = self._lut(lut_key, f)
+        flat = data.reshape(-1, data.shape[-1])
+        out = self.sks._pbs(flat, lut.acc)
+        return out.reshape(data.shape)
+
+    def _biv(self, a, b, lut_key, f):
+        """Bivariate wave: LUT(x*msg + y) with x, y clean blocks."""
+        msg = _U64(self.msg)
+        with np.errstate(over="ignore"):
+            packed = a * msg + b
+        return self._wave(packed, ("biv", lut_key),
+                          lambda v: f(v // self.msg, v % self.msg))
+
+    # -- carry propagation (ref: radix_parallel/add.rs:518-603) -----------
+
+    def _shift_up(self, x, d):
+        """[B, nb, sz]: new[:, i] = old[:, i-d], zeros in at the bottom."""
+        if d == 0:
+            return x
+        out = np.zeros_like(x)
+        out[:, d:] = x[:, :-d] if d < x.shape[1] else 0
+        return out
+
+    def _propagate(self, s):
+        """Clean up [B, nb, sz] blocks holding degree <= 2*msg-1 sums."""
+        msg = self.msg
+        nb = s.shape[1]
+        state = self._wave(
+            s, "state",
+            lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0))
+        d = 1
+        while d < nb:
+            prev = self._shift_up(state, d)
+            with np.errstate(over="ignore"):
+                packed = state * _U64(msg) + prev
+            state = self._wave(
+                packed, "resolve",
+                lambda v: min((v % msg) if (v // msg) == 1 else (v // msg),
+                              2))
+            d *= 2
+        carries = self._wave(state, "carry", lambda v: 1 if v == 2 else 0)
+        with np.errstate(over="ignore"):
+            t = s + self._shift_up(carries, 1)
+        return self._wave(t, "msgext", lambda v: v % msg)
+
+    # -- public ops --------------------------------------------------------
+
+    def add(self, a, b):
+        with np.errstate(over="ignore"):
+            return self._propagate(a + b)
+
+    def _neg_correct(self, b):
+        """Per-block negation correcting terms for clean blocks
+        (ref: integer/server_key/radix/neg.rs; see parallel/fused.py)."""
+        sks = self.sks
+        msg = self.msg
+        B, nb, sz = b.shape
+        term = np.full(nb, msg, dtype=np.int64)
+        term[1:] -= 1
+        body = ((term % (2 * msg * sks.carry_modulus)).astype(_U64)
+                * _U64(sks.delta))
+        with np.errstate(over="ignore"):
+            out = _U64(0) - b
+            out[..., -1] += body[None, :]
+        return out
+
+    def sub(self, a, b):
+        with np.errstate(over="ignore"):
+            return self._propagate(a + self._neg_correct(b))
+
+    def neg(self, a):
+        return self._propagate(self._neg_correct(a))
+
+    def eq(self, a, b):
+        """[B, nb, sz] x2 -> [B, sz] 0/1 boolean blocks, sum-packed."""
+        beq = self._biv(a, b, "eq", lambda x, y: int(x == y))
+        return self._all_ones(beq)
+
+    def ne(self, a, b):
+        return self._wave(self.eq(a, b), "not01", lambda v: int(v == 0))
+
+    def _all_ones(self, bits):
+        """AND over axis 1 of 0/1 blocks via carry-space sum-thresholds
+        (fan-in = max_noise_level per round)."""
+        while bits.shape[1] > 1:
+            m = bits.shape[1]
+            c = min(self.cap, m)
+            pad = (-m) % c
+            if pad:
+                one = np.zeros((bits.shape[0], pad, bits.shape[2]), _U64)
+                one[..., -1] = _U64(self.sks.delta)  # trivial 1
+                bits = np.concatenate([bits, one], axis=1)
+                m += pad
+            with np.errstate(over="ignore"):
+                s = bits.reshape(bits.shape[0], m // c, c,
+                                 bits.shape[2]).sum(axis=2, dtype=_U64)
+            bits = self._wave(s, ("and_sum", c), lambda v, c=c: int(v == c))
+        return bits[:, 0]
+
+    def _signs(self, a, b):
+        """MSB-first reduced 3-state comparison sign [B, sz]
+        (ref: comparator.rs:31-60)."""
+        signs = self._biv(a, b, "sign",
+                          lambda x, y: 0 if x == y else (1 if x < y else 2))
+        # resolve tree, most-significant block wins unless equal
+        while signs.shape[1] > 1:
+            m = signs.shape[1]
+            lo = signs[:, 0:m - 1:2]
+            hi = signs[:, 1:m:2]
+            with np.errstate(over="ignore"):
+                packed = hi * _U64(self.msg) + lo
+            merged = self._wave(
+                packed, "sresolve",
+                lambda v: min((v % self.msg) if (v // self.msg) == 0
+                              else (v // self.msg), 2))
+            if m % 2 == 1:
+                merged = np.concatenate([merged, signs[:, m - 1:m]], axis=1)
+            signs = merged
+        return signs[:, 0]
+
+    def _cmp(self, a, b, name, f):
+        return self._wave(self._signs(a, b), ("cmp", name), f)
+
+    def lt(self, a, b):
+        return self._cmp(a, b, "lt", lambda s: int(s == 1))
+
+    def le(self, a, b):
+        return self._cmp(a, b, "le", lambda s: int(s != 2))
+
+    def gt(self, a, b):
+        return self._cmp(a, b, "gt", lambda s: int(s == 2))
+
+    def ge(self, a, b):
+        return self._cmp(a, b, "ge", lambda s: int(s != 1))
+
+    def mul(self, a, b):
+        """Carry-save block-product multiplication
+        (ref: radix_parallel/mul.rs:329-464 + add.rs:789 sum trees)."""
+        msg = self.msg
+        B, nb, sz = a.shape
+        pairs_lsb = [(i, j) for j in range(nb) for i in range(nb - j)]
+        pairs_msb = [(i, j) for j in range(nb) for i in range(nb - j)
+                     if i + j + 1 < nb]
+
+        def products(pairs, key, f):
+            ai = [i for i, _ in pairs]
+            bj = [j for _, j in pairs]
+            return self._biv(a[:, ai], b[:, bj], key, f)
+
+        prod_lsb = products(pairs_lsb, "mlsb", lambda x, y: (x * y) % msg)
+        columns = [[] for _ in range(nb)]
+        for t, (i, j) in enumerate(pairs_lsb):
+            columns[i + j].append(prod_lsb[:, t])
+        if pairs_msb:
+            prod_msb = products(pairs_msb, "mmsb",
+                                lambda x, y: (x * y) // msg)
+            for t, (i, j) in enumerate(pairs_msb):
+                columns[i + j + 1].append(prod_msb[:, t])
+
+        max_degree = msg * self.sks.carry_modulus - 1
+        chunk = max(max_degree // (msg - 1), 2)
+        while max(len(c) for c in columns) > 2:
+            new_columns = [[] for _ in range(nb)]
+            to_extract = []
+            for p, col in enumerate(columns):
+                for lo in range(0, len(col), chunk):
+                    part = col[lo:lo + chunk]
+                    if len(part) == 1:
+                        new_columns[p].append(part[0])
+                        continue
+                    acc = part[0]
+                    for other in part[1:]:
+                        with np.errstate(over="ignore"):
+                            acc = acc + other
+                    to_extract.append((p, acc))
+            if to_extract:
+                stacked = np.stack([t[1] for t in to_extract], axis=1)
+                msgs = self._wave(stacked, "msgext", lambda v: v % msg)
+                carries = self._wave(stacked, "carryext",
+                                     lambda v: v // msg)
+                for t, (p, _) in enumerate(to_extract):
+                    new_columns[p].append(msgs[:, t])
+                    if p + 1 < nb:
+                        new_columns[p + 1].append(carries[:, t])
+            columns = new_columns
+
+        zero = np.zeros((B, sz), _U64)
+        top = np.stack([c[0] if c else zero for c in columns], axis=1)
+        bot = np.stack([c[1] if len(c) > 1 else zero for c in columns],
+                       axis=1)
+        with np.errstate(over="ignore"):
+            return self._propagate(top + bot)
+
+
+def encrypt_batch_radix(icks, values, num_blocks: int) -> np.ndarray:
+    """Encrypt a list of clear ints -> [B, nb, sz] for BatchedRadixOps."""
+    msg = icks.message_modulus
+    digs = [(int(v) // msg**j) % msg
+            for v in values for j in range(num_blocks)]
+    data = icks.key.encrypt_batch(np.asarray(digs, _U64)).data
+    return data.reshape(len(values), num_blocks, -1)
+
+
+def decrypt_batch_radix(icks, data) -> list:
+    """[B, nb, sz] -> clear ints (mod msg**nb)."""
+    B, nb, sz = data.shape
+    msg = icks.message_modulus
+    digs = icks.key.decrypt_batch(data.reshape(-1, sz)).reshape(B, nb)
+    return [int(sum(int(d) * msg**j for j, d in enumerate(row)))
+            for row in digs]

@@ -136,7 +136,26 @@ class FusedIntegerOps:
             base = functools.partial(F.fused_radix_mul, message_modulus=msg,
                                      carry_modulus=sks.carry_modulus)
             fn = jax.jit(lambda ksk, bsk, a, b: base(ksk, bsk, *accs, a, b))
-        elif op in ("eq", "ne", "lt", "le", "gt", "ge"):
+        elif op in ("eq", "ne"):
+            nb = shape[0][1]
+            if "beq_01" not in self._luts:
+                self._luts["beq_01"] = sks.generate_lookup_table_bivariate(
+                    lambda x, y: int(x == y))
+            beq_acc = self._luts["beq_01"].acc.acc
+            cap = (sks.carry_modulus * msg - 1) // (msg - 1)
+            and_accs = {
+                c: sks.generate_lookup_table(
+                    lambda v, c=c: int(v == c)).acc
+                for c in F.eq_chunk_widths(nb, cap)}
+            and_accs["not"] = sks.generate_lookup_table(
+                lambda v: int(v == 0)).acc
+            base = functools.partial(
+                F.fused_radix_eq, message_modulus=msg,
+                carry_modulus=sks.carry_modulus, delta=sks.delta,
+                negate=(op == "ne"))
+            fn = jax.jit(lambda ksk, bsk, a, b:
+                         base(ksk, bsk, beq_acc, and_accs, a, b))
+        elif op in ("lt", "le", "gt", "ge"):
             accs = (self._acc("sign"), self._acc("sresolve"), self._acc(op))
             base = functools.partial(F.fused_radix_cmp, message_modulus=msg)
             fn = jax.jit(lambda ksk, bsk, a, b: base(ksk, bsk, *accs, a, b))

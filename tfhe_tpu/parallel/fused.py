@@ -304,6 +304,48 @@ def _tree_reduce(ksk, bsk, acc, x, msg_u):
     return x[..., 0, :]
 
 
+def fused_radix_eq(ksk, bsk, beq_acc, and_accs, a, b, *,
+                   message_modulus: int, carry_modulus: int, delta: int,
+                   negate: bool = False):
+    """Equality of clean radix ciphertexts via carry-space sum-thresholds.
+
+    One bivariate block-eq round, then log_cap sum-threshold rounds
+    (cap = max_noise_level fresh 0/1 blocks per chunk) — 3 PBS rounds and
+    nb + ~nb/4 PBS for nb=16, vs the sign/resolve-tree path's 6 rounds
+    and ~2nb PBS (ref: integer/server_key/comparator.rs eq loops).
+
+    and_accs: dict {c: acc} with acc the (sum == c) LUT for every chunk
+    width on the (static) reduction path — see eq_chunk_widths."""
+    msg_u = jnp.asarray(message_modulus, a.dtype)
+    cap = (carry_modulus * message_modulus - 1) // (message_modulus - 1)
+    bits = fused_ks_pbs(ksk, bsk, beq_acc, a * msg_u + b)  # [B, nb, sz]
+    B, nb, sz = bits.shape
+    while nb > 1:
+        c = min(cap, nb)
+        pad = (-nb) % c
+        if pad:
+            one = jnp.zeros((B, pad, sz), bits.dtype)
+            one = one.at[..., -1].set(jnp.asarray(delta, bits.dtype))
+            bits = jnp.concatenate([bits, one], axis=1)
+            nb += pad
+        s = bits.reshape(B, nb // c, c, sz).sum(axis=2)
+        bits = fused_ks_pbs(ksk, bsk, and_accs[c], s)
+        nb //= c
+    if negate:
+        return fused_ks_pbs(ksk, bsk, and_accs["not"], bits[:, 0])
+    return bits[:, 0]
+
+
+def eq_chunk_widths(nb: int, cap: int):
+    """The static chunk widths fused_radix_eq uses for nb blocks."""
+    widths = set()
+    while nb > 1:
+        c = min(cap, nb)
+        widths.add(c)
+        nb = (nb + (-nb) % c) // c
+    return widths
+
+
 def fused_radix_cmp(ksk, bsk, sign_acc, resolve_acc, out_acc, a, b, *,
                     message_modulus: int):
     """Comparison of clean radix ciphertexts in one computation: per-block
