@@ -299,8 +299,18 @@ def vertical_packing(luts: np.ndarray, ggsw_bits: List[Any],
                      glwe_size: int, cbs_base_log: int,
                      cbs_levels: int) -> Any:
     """luts [count, N], ggsw_bits MSB-first -> LWE [B, k*N+1] holding
-    lut[extracted_value] (ref: wop_pbs/mod.rs vertical_packing:785-850)."""
+    lut[extracted_value] (ref: wop_pbs/mod.rs vertical_packing:785-850).
+
+    Non-power-of-2 LUT counts are zero-padded up to the tree width (the
+    reference sizes the tree by ceil(log2) and treats missing leaves as
+    zero polynomials, wop_pbs/mod.rs:468-560)."""
     count = luts.shape[0]
+    if count > 1 and count & (count - 1):
+        pow2 = 1 << (count - 1).bit_length()
+        luts = np.concatenate(
+            [np.asarray(luts),
+             np.zeros((pow2 - count, luts.shape[-1]), np.uint64)])
+        count = pow2
     log_count = max(count.bit_length() - 1, 0)
     n_tree = log_count if log_count <= len(ggsw_bits) else 0
     tree_bits = ggsw_bits[:n_tree]

@@ -24,6 +24,7 @@ Reference schedules mirrored:
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 _U64 = np.uint64
@@ -51,17 +52,17 @@ class BatchedRadixOps:
         return self._luts[key]
 
     def _wave(self, data, lut_key, f):
-        """One fused ks+pbs device wave over [..., sz] torus rows."""
+        """One fused ks+pbs device wave over [..., sz] torus rows —
+        device-resident end to end (no host round-trips between rounds,
+        which dominate through the TPU tunnel at these array sizes)."""
         lut = self._lut(lut_key, f)
         flat = data.reshape(-1, data.shape[-1])
-        out = self.sks._pbs(flat, lut.acc)
+        out = self.sks._pbs_device(flat, lut.acc)
         return out.reshape(data.shape)
 
     def _biv(self, a, b, lut_key, f):
         """Bivariate wave: LUT(x*msg + y) with x, y clean blocks."""
-        msg = _U64(self.msg)
-        with np.errstate(over="ignore"):
-            packed = a * msg + b
+        packed = a * _U64(self.msg) + b
         return self._wave(packed, ("biv", lut_key),
                           lambda v: f(v // self.msg, v % self.msg))
 
@@ -71,9 +72,9 @@ class BatchedRadixOps:
         """[B, nb, sz]: new[:, i] = old[:, i-d], zeros in at the bottom."""
         if d == 0:
             return x
-        out = np.zeros_like(x)
-        out[:, d:] = x[:, :-d] if d < x.shape[1] else 0
-        return out
+        nb = x.shape[1]
+        zeros = jnp.zeros((x.shape[0], min(d, nb), x.shape[2]), x.dtype)
+        return jnp.concatenate([zeros, x[:, :max(nb - d, 0)]], axis=1)
 
     def _propagate(self, s):
         """Clean up [B, nb, sz] blocks holding degree <= 2*msg-1 sums."""
@@ -85,23 +86,20 @@ class BatchedRadixOps:
         d = 1
         while d < nb:
             prev = self._shift_up(state, d)
-            with np.errstate(over="ignore"):
-                packed = state * _U64(msg) + prev
+            packed = state * _U64(msg) + prev
             state = self._wave(
                 packed, "resolve",
                 lambda v: min((v % msg) if (v // msg) == 1 else (v // msg),
                               2))
             d *= 2
         carries = self._wave(state, "carry", lambda v: 1 if v == 2 else 0)
-        with np.errstate(over="ignore"):
-            t = s + self._shift_up(carries, 1)
-        return self._wave(t, "msgext", lambda v: v % msg)
+        return self._wave(s + self._shift_up(carries, 1), "msgext",
+                          lambda v: v % msg)
 
     # -- public ops --------------------------------------------------------
 
     def add(self, a, b):
-        with np.errstate(over="ignore"):
-            return self._propagate(a + b)
+        return self._propagate(jnp.asarray(a) + jnp.asarray(b))
 
     def _neg_correct(self, b):
         """Per-block negation correcting terms for clean blocks
@@ -113,21 +111,19 @@ class BatchedRadixOps:
         term[1:] -= 1
         body = ((term % (2 * msg * sks.carry_modulus)).astype(_U64)
                 * _U64(sks.delta))
-        with np.errstate(over="ignore"):
-            out = _U64(0) - b
-            out[..., -1] += body[None, :]
-        return out
+        out = jnp.zeros_like(jnp.asarray(b)) - b
+        return out.at[..., -1].add(jnp.asarray(body)[None, :])
 
     def sub(self, a, b):
-        with np.errstate(over="ignore"):
-            return self._propagate(a + self._neg_correct(b))
+        return self._propagate(jnp.asarray(a) + self._neg_correct(b))
 
     def neg(self, a):
         return self._propagate(self._neg_correct(a))
 
     def eq(self, a, b):
         """[B, nb, sz] x2 -> [B, sz] 0/1 boolean blocks, sum-packed."""
-        beq = self._biv(a, b, "eq", lambda x, y: int(x == y))
+        beq = self._biv(jnp.asarray(a), jnp.asarray(b),
+                        "eq", lambda x, y: int(x == y))
         return self._all_ones(beq)
 
     def ne(self, a, b):
@@ -141,13 +137,13 @@ class BatchedRadixOps:
             c = min(self.cap, m)
             pad = (-m) % c
             if pad:
-                one = np.zeros((bits.shape[0], pad, bits.shape[2]), _U64)
-                one[..., -1] = _U64(self.sks.delta)  # trivial 1
-                bits = np.concatenate([bits, one], axis=1)
+                one = jnp.zeros((bits.shape[0], pad, bits.shape[2]),
+                                bits.dtype)
+                one = one.at[..., -1].set(_U64(self.sks.delta))  # trivial 1
+                bits = jnp.concatenate([bits, one], axis=1)
                 m += pad
-            with np.errstate(over="ignore"):
-                s = bits.reshape(bits.shape[0], m // c, c,
-                                 bits.shape[2]).sum(axis=2, dtype=_U64)
+            s = bits.reshape(bits.shape[0], m // c, c,
+                             bits.shape[2]).sum(axis=2)
             bits = self._wave(s, ("and_sum", c), lambda v, c=c: int(v == c))
         return bits[:, 0]
 
@@ -161,14 +157,14 @@ class BatchedRadixOps:
             m = signs.shape[1]
             lo = signs[:, 0:m - 1:2]
             hi = signs[:, 1:m:2]
-            with np.errstate(over="ignore"):
-                packed = hi * _U64(self.msg) + lo
+            packed = hi * _U64(self.msg) + lo
             merged = self._wave(
                 packed, "sresolve",
                 lambda v: min((v % self.msg) if (v // self.msg) == 0
                               else (v // self.msg), 2))
             if m % 2 == 1:
-                merged = np.concatenate([merged, signs[:, m - 1:m]], axis=1)
+                merged = jnp.concatenate([merged, signs[:, m - 1:m]],
+                                         axis=1)
             signs = merged
         return signs[:, 0]
 
@@ -191,14 +187,16 @@ class BatchedRadixOps:
         """Carry-save block-product multiplication
         (ref: radix_parallel/mul.rs:329-464 + add.rs:789 sum trees)."""
         msg = self.msg
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
         B, nb, sz = a.shape
         pairs_lsb = [(i, j) for j in range(nb) for i in range(nb - j)]
         pairs_msb = [(i, j) for j in range(nb) for i in range(nb - j)
                      if i + j + 1 < nb]
 
         def products(pairs, key, f):
-            ai = [i for i, _ in pairs]
-            bj = [j for _, j in pairs]
+            ai = jnp.asarray([i for i, _ in pairs])
+            bj = jnp.asarray([j for _, j in pairs])
             return self._biv(a[:, ai], b[:, bj], key, f)
 
         prod_lsb = products(pairs_lsb, "mlsb", lambda x, y: (x * y) % msg)
@@ -224,11 +222,10 @@ class BatchedRadixOps:
                         continue
                     acc = part[0]
                     for other in part[1:]:
-                        with np.errstate(over="ignore"):
-                            acc = acc + other
+                        acc = acc + other
                     to_extract.append((p, acc))
             if to_extract:
-                stacked = np.stack([t[1] for t in to_extract], axis=1)
+                stacked = jnp.stack([t[1] for t in to_extract], axis=1)
                 msgs = self._wave(stacked, "msgext", lambda v: v % msg)
                 carries = self._wave(stacked, "carryext",
                                      lambda v: v // msg)
@@ -238,12 +235,11 @@ class BatchedRadixOps:
                         new_columns[p + 1].append(carries[:, t])
             columns = new_columns
 
-        zero = np.zeros((B, sz), _U64)
-        top = np.stack([c[0] if c else zero for c in columns], axis=1)
-        bot = np.stack([c[1] if len(c) > 1 else zero for c in columns],
-                       axis=1)
-        with np.errstate(over="ignore"):
-            return self._propagate(top + bot)
+        zero = jnp.zeros((B, sz), a.dtype)
+        top = jnp.stack([c[0] if c else zero for c in columns], axis=1)
+        bot = jnp.stack([c[1] if len(c) > 1 else zero for c in columns],
+                        axis=1)
+        return self._propagate(top + bot)
 
 
 def encrypt_batch_radix(icks, values, num_blocks: int) -> np.ndarray:
@@ -257,6 +253,7 @@ def encrypt_batch_radix(icks, values, num_blocks: int) -> np.ndarray:
 
 def decrypt_batch_radix(icks, data) -> list:
     """[B, nb, sz] -> clear ints (mod msg**nb)."""
+    data = np.asarray(data)
     B, nb, sz = data.shape
     msg = icks.message_modulus
     digs = icks.key.decrypt_batch(data.reshape(-1, sz)).reshape(B, nb)

@@ -159,6 +159,31 @@ class ServerKey:
         e = (B - 1).bit_length() - 3
         return -(-B // (1 << e)) << e
 
+    def _pbs_device(self, data, acc):
+        """Device-resident fused keyswitch+bootstrap: jnp in, jnp out.
+
+        Bucket-pads like _pbs but never round-trips the batch through the
+        host — the wave-scheduled layers (integer/batched.py,
+        strings/batched.py) chain many rounds and a [B, lwe_size] u64
+        array is tens of MB through the TPU tunnel."""
+        data = jnp.asarray(data)
+        B = data.shape[0]
+        bucket = self._bucket(B)
+        acc_arr = acc
+        if bucket != B:
+            pad = bucket - B
+            data = jnp.concatenate(
+                [data, jnp.broadcast_to(data[:1], (pad,) + data.shape[1:])])
+            a = jnp.asarray(acc)
+            if a.ndim == 3:  # per-element accumulators [B, G, N]
+                acc_arr = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        if self.params.pbs_order is PBSOrder.KEYSWITCH_BOOTSTRAP:
+            fn = _ks_mb_pbs_jit if self.is_multi_bit else _ks_pbs_jit
+        else:
+            fn = _mb_pbs_ks_jit if self.is_multi_bit else _pbs_ks_jit
+        return fn(self.ksk, self.bsk, acc_arr, data)[:B]
+
     def _pbs(self, data: np.ndarray, acc) -> np.ndarray:
         """One fused keyswitch+bootstrap device call over a batch.
 
@@ -166,25 +191,7 @@ class ServerKey:
         scheme-level batch shapes (string ops produce many) reuse a small
         set of compiled programs — compile-cache hygiene that also keeps
         XLA shapes stable on TPU."""
-        data = np.asarray(data)
-        B = data.shape[0]
-        bucket = self._bucket(B)
-        acc_arr = acc
-        if bucket != B:
-            pad = bucket - B
-            data = np.concatenate(
-                [data, np.broadcast_to(data[:1], (pad,) + data.shape[1:])])
-            a = np.asarray(acc)
-            if a.ndim == 3:  # per-element accumulators [B, G, N]
-                acc_arr = jnp.asarray(np.concatenate(
-                    [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])]))
-        ct = jnp.asarray(data)
-        if self.params.pbs_order is PBSOrder.KEYSWITCH_BOOTSTRAP:
-            fn = _ks_mb_pbs_jit if self.is_multi_bit else _ks_pbs_jit
-        else:
-            fn = _mb_pbs_ks_jit if self.is_multi_bit else _pbs_ks_jit
-        out = np.asarray(fn(self.ksk, self.bsk, acc_arr, ct))
-        return out[:B]
+        return np.asarray(self._pbs_device(np.asarray(data), acc))
 
     def apply_lookup_table_batch(self, batch: ShortintBatch,
                                  lut: LookupTable) -> ShortintBatch:

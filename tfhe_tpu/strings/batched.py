@@ -16,6 +16,7 @@ msg+1 = in contract), and one univariate LUT compares against the clear
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 _U64 = np.uint64
@@ -40,14 +41,14 @@ class BatchedStringOps:
         return self._luts[key]
 
     def _wave(self, data, lut_key, f):
+        """Device-resident wave (see integer/batched.py _wave)."""
         flat = data.reshape(-1, data.shape[-1])
-        out = self.sks._pbs(flat, self._lut(lut_key, f).acc)
+        out = self.sks._pbs_device(flat, self._lut(lut_key, f).acc)
         return out.reshape(data.shape)
 
     def _trivial_one(self, shape):
-        one = np.zeros(shape, _U64)
-        one[..., -1] = _U64(self.sks.delta)
-        return one
+        return jnp.zeros(shape, jnp.uint64).at[..., -1].set(
+            _U64(self.sks.delta))
 
     def _sum_thresh(self, bits, op: str):
         """Collapse axis 1 of 0/1 blocks: AND (== count) or OR (!= 0)."""
@@ -58,12 +59,12 @@ class BatchedStringOps:
             if pad:
                 fill = (self._trivial_one(
                     (bits.shape[0], pad, bits.shape[2])) if op == "and"
-                    else np.zeros((bits.shape[0], pad, bits.shape[2]), _U64))
-                bits = np.concatenate([bits, fill], axis=1)
+                    else jnp.zeros((bits.shape[0], pad, bits.shape[2]),
+                                   jnp.uint64))
+                bits = jnp.concatenate([bits, fill], axis=1)
                 m += pad
-            with np.errstate(over="ignore"):
-                s = bits.reshape(bits.shape[0], m // c, c,
-                                 bits.shape[2]).sum(axis=2, dtype=_U64)
+            s = bits.reshape(bits.shape[0], m // c, c,
+                             bits.shape[2]).sum(axis=2)
             if op == "and":
                 bits = self._wave(s, ("and_sum", c),
                                   lambda v, c=c: int(v == c))
@@ -86,13 +87,10 @@ class BatchedStringOps:
         assert n_off >= 1, "pattern longer than haystack"
         # gather [B, n_off, plen, nb, sz]
         idx = np.arange(n_off)[:, None] + np.arange(plen)[None, :]
-        g = blocks[:, idx]
-        with np.errstate(over="ignore"):
-            packed = g[:, :, :, 1::2] * _U64(msg) + g[:, :, :, 0::2]
+        g = jnp.asarray(blocks)[:, jnp.asarray(idx)]
+        packed = g[:, :, :, 1::2] * _U64(msg) + g[:, :, :, 0::2]
         packed = packed.reshape(B, n_off, plen * npair, sz)
         # per-slot clear digit-pair values -> per-ct eq LUT selection
-        import jax.numpy as jnp
-
         vals = []
         for c in pattern:
             digs = [(ord(c) // msg**d) % msg for d in range(nb)]
@@ -104,7 +102,7 @@ class BatchedStringOps:
         accs = jnp.stack([l.acc for l in luts])
         sel = np.tile(np.asarray(vals, np.int64), B * n_off)
         flat = packed.reshape(-1, sz)
-        out = self.sks._pbs(flat, accs[sel])
+        out = self.sks._pbs_device(flat, accs[jnp.asarray(sel)])
         return out.reshape(B, n_off, plen * npair, sz)
 
     def _offset_matches(self, blocks, pattern: str):
@@ -128,38 +126,33 @@ class BatchedStringOps:
         match = self._offset_matches(blocks, pattern)  # [B, n_off, sz]
         B, n_off, sz = match.shape
         cap = self.cap
-        # intra-chunk inclusive prefix sums (linear)
-        s = match.copy()
-        for k in range(1, cap):
-            cols = [i for i in range(n_off) if i % cap >= k]
-            if not cols:
-                break
-            with np.errstate(over="ignore"):
-                s[:, cols] += match[:, [i - k for i in cols]]
+        # intra-chunk inclusive prefix sums (linear; noise <= cap)
+        pad = (-n_off) % cap
+        mp = jnp.concatenate(
+            [match, jnp.zeros((B, pad, sz), match.dtype)], axis=1)
+        nchunk = mp.shape[1] // cap
+        s = jnp.cumsum(mp.reshape(B, nchunk, cap, sz), axis=2).reshape(
+            B, nchunk * cap, sz)[:, :n_off]
         pc = self._wave(s, ("or_sum", cap), lambda v: int(v != 0))
-        nchunk = -(-n_off // cap)
         if nchunk > 1:
             ends = np.minimum(np.arange(1, nchunk + 1) * cap - 1, n_off - 1)
-            t = pc[:, ends]
+            t = pc[:, jnp.asarray(ends)]
             # exclusive prefix sums of the <= cap chunk bools (linear)
-            e = np.zeros_like(t)
-            with np.errstate(over="ignore"):
-                for j in range(1, nchunk):
-                    e[:, j] = e[:, j - 1] + t[:, j - 1]
+            e = jnp.concatenate(
+                [jnp.zeros((B, 1, sz), t.dtype),
+                 jnp.cumsum(t[:, :-1], axis=1)], axis=1)
             pb = self._wave(e, ("or_sum", cap), lambda v: int(v != 0))
             rep = np.repeat(np.arange(nchunk), cap)[:n_off]
-            with np.errstate(over="ignore"):
-                packed = pc * _U64(self.msg) + pb[:, rep]
+            packed = pc * _U64(self.msg) + pb[:, jnp.asarray(rep)]
             seen = self._wave(packed, "or_biv",
                               lambda v: int(bool(v // self.msg)
                                             or bool(v % self.msg)))
         else:
             seen = pc
         found = seen[:, -1]
-        before = np.zeros_like(seen)
-        before[:, 1:] = seen[:, :-1]
-        with np.errstate(over="ignore"):
-            packed = match * _U64(self.msg) + before
+        before = jnp.concatenate(
+            [jnp.zeros((B, 1, sz), seen.dtype), seen[:, :-1]], axis=1)
+        packed = match * _U64(self.msg) + before
         firsts = self._wave(
             packed, "first",
             lambda v: int(bool(v // self.msg) and not (v % self.msg)))
