@@ -343,6 +343,242 @@ def _mb_compose_combine(cfg: FusedConfig, gf: int, p, inv, epsP, epsPsh,
     return (jnp.stack(khi_cols, axis=1), jnp.stack(klo_cols, axis=1))
 
 
+def _mb_mons(cfg: FusedConfig, gf: int, p, inv, psi2t, psi2tsh, epsP,
+             epsPsh, epsM, epsMsh, d_rows, eps_rows, Bb: int):
+    """All 2^gf - 1 nontrivial monomial spectra for ONE prime, in-kernel.
+
+    d_rows: list[gf] of [B] switched singleton degrees; eps_rows: list[per]
+    of [B] epsilon rows.  Returns mons dict j -> [N, B] balanced."""
+    per = 1 << gf
+    mons = {}
+    for i in range(gf):
+        mons[1 << (gf - 1 - i)] = _mb_single_chain(
+            cfg, p, inv, psi2t, psi2tsh, d_rows[i], Bb)
+    for j in _composites(per):
+        ja, jb = _mb_factor(j)
+        t0 = _fold_t(mons[ja] * mons[jb], p, inv)
+        ep = _shoup_t(t0, epsP[:, None], epsPsh[:, None], p, inv)
+        em = _shoup_t(t0, epsM[:, None], epsMsh[:, None], p, inv)
+        ej = eps_rows[j]
+        mons[j] = jnp.where(ej == 1, ep, jnp.where(ej == -1, em, t0))
+    return mons
+
+
+def _mb_step_math_onekernel(cfg: FusedConfig, gf: int, tab_refs,
+                            consts_refs, mon_at, kh_at, kl_at, d_rows,
+                            eps_rows, acc, Bb: int):
+    """Whole multi-bit step in one body: decompose + per-prime-group fori
+    loops where each prime computes its monomial spectra, combines key
+    columns ON THE FLY (no [N, W, B] combined-key materialization — the
+    VMEM pressure that forced the round-4 three-kernel split), MACs,
+    inverse-NTTs, and streams the zero-based explicit CRT."""
+    N, R, C = cfg.N, cfg.R, cfg.C
+    G, L, M = cfg.glwe_size, cfg.levels, cfg.planes
+    LJ, OM = L * G, G * M
+    per = 1 << gf
+
+    X8 = _dec_limbs(cfg, acc, Bb)
+
+    lo_s = tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+    hi_s = (tuple(jnp.zeros((N, Bb), jnp.int32) for _ in range(G))
+            if cfg.bits == 64 else tuple())
+    af = tuple(jnp.zeros((N, Bb), jnp.float32) for _ in range(OM))
+
+    def _tset(tup, i, v):
+        return tup[:i] + (v,) + tup[i + 1:]
+
+    offset = 0
+    for g, (nl, nlx, idx) in enumerate(prime_groups(cfg)):
+        (W1A8r, W2B8r, W2I8r, W1I8r,
+         TCr, TCshr, TICr, TICshr) = tab_refs[g]
+        cr = consts_refs[g]
+
+        def body(gip, carry, nl=nl, nlx=nlx, offset=offset, cr=cr,
+                 W1A8r=W1A8r, W2B8r=W2B8r, W2I8r=W2I8r, W1I8r=W1I8r,
+                 TCr=TCr, TCshr=TCshr, TICr=TICr, TICshr=TICshr):
+            lo_s, hi_s, af = carry
+            p = cr[gip, 0]
+            inv = np.float32(1.0) / p.astype(jnp.float32)
+            W1A8 = _ds0(W1A8r, gip)
+            W2B8 = _ds0(W2B8r, gip)
+            W2I8 = _ds0(W2I8r, gip)
+            W1I8 = _ds0(W1I8r, gip)
+            TC = _ds0(TCr, gip)
+            TCsh = _ds0(TCshr, gip)
+            TIC = _ds0(TICr, gip)
+            TICsh = _ds0(TICshr, gip)
+            ip = np.int32(offset) + gip
+            psi2t, psi2tsh, ePt, ePts, eMt, eMts = mon_at(ip)
+            kh = kh_at(ip)                 # [N, per, W] int32
+            kl = kl_at(ip)
+
+            mons = _mb_mons(cfg, gf, p, inv, psi2t, psi2tsh,
+                            ePt, ePts, eMt, eMts, d_rows, eps_rows, Bb)
+            # 8-bit monomial splits, stacked once per prime
+            mlo_st = jnp.stack(
+                [((mons[j] + 128) & 255) - 128 for j in range(1, per)],
+                axis=1)
+            mhi_st = jnp.stack(
+                [(mons[j] - (((mons[j] + 128) & 255) - 128)) >> 8
+                 for j in range(1, per)], axis=1)     # [N, per-1, B]
+
+            spec = [
+                _forward_prime_t(X8[lj], W1A8, W2B8, TC, TCsh, nl, nlx,
+                                 p, inv, cfg, Bb)
+                for lj in range(LJ)
+            ]
+            kst = kh[:, 1:, :] * 256 + kl[:, 1:, :]   # [N, per-1, W]
+            for o in range(G):
+                for m in range(M):
+                    om = o * M + m
+                    hi_sum = jnp.zeros((N, Bb), jnp.int32)
+                    lo_sum = jnp.zeros((N, Bb), jnp.int32)
+                    for lj in range(LJ):
+                        col = lj * OM + om
+                        # combine this key column on the fly
+                        kcol = kst[:, :, col:col + 1]  # [N, per-1, 1]
+                        heff = jnp.sum(mhi_st * kcol, axis=1,
+                                       dtype=jnp.int32)
+                        leff = jnp.sum(mlo_st * kcol, axis=1,
+                                       dtype=jnp.int32)
+                        k0 = (kh[:, 0, col:col + 1] * 256
+                              + kl[:, 0, col:col + 1])
+                        t1 = _fold_t(heff, p, inv)
+                        keff = _fold_t(t1 * 256 + leff + k0, p, inv)
+                        kloe = ((keff + 128) & 255) - 128
+                        khie = (keff - kloe) >> 8
+                        hi_sum = hi_sum + spec[lj] * khie
+                        lo_sum = lo_sum + spec[lj] * kloe
+                    tm = _fold_t(hi_sum, p, inv)
+                    macc = _fold_t(tm * 256 + lo_sum,
+                                   p, inv).reshape(C, R * Bb)
+                    chat = _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh,
+                                            nl, nlx, p, inv, cfg, Bb)
+                    af = _tset(af, om,
+                               af[om] + chat.astype(jnp.float32) * inv)
+                    if cfg.bits == 64:
+                        if m == 0:
+                            lo_o, hi_o = _mulacc_c_k64_t(
+                                lo_s[o], hi_s[o], chat,
+                                [cr[gip, 1 + t] for t in range(4)],
+                                [cr[gip, 5 + t] for t in range(4)])
+                            lo_s = _tset(lo_s, o, lo_o)
+                            hi_s = _tset(hi_s, o, hi_o)
+                        else:
+                            hi_s = _tset(hi_s, o, hi_s[o] + _low32_mul_t(
+                                chat, cr[gip, 9], cr[gip, 10]))
+                    else:
+                        lo_s = _tset(lo_s, o, lo_s[o] + _low32_mul_t(
+                            chat, cr[gip, 9], cr[gip, 10]))
+            return lo_s, hi_s, af
+
+        def scan_body(carry, _, body=body):
+            gip, state = carry
+            return (gip + np.int32(1), body(gip, state)), None
+
+        (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
+            scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
+            length=len(idx))
+        offset += len(idx)
+
+    lo_fin, hi_fin = [], []
+    for o in range(G):
+        lo_o = lo_s[o]
+        hi_o = hi_s[o] if cfg.bits == 64 else None
+        for m in range(M):
+            om = o * M + m
+            a0 = -jnp.round(af[om]).astype(jnp.int32)
+            if cfg.bits == 64:
+                if m == 0:
+                    lo_o, hi_o = _mulacc_c16_k64(lo_o, hi_o, a0, cfg.km64)
+                else:
+                    hi_o = hi_o + _low32_mul(a0, cfg.km32)
+            else:
+                lo_o = lo_o + _low32_mul(a0, cfg.km32)
+        lo_fin.append(lo_o)
+        hi_fin.append(hi_o)
+    if cfg.bits == 64:
+        return jnp.stack(
+            [jnp.stack([lo_fin[o], hi_fin[o]], axis=0) for o in range(G)],
+            axis=0)
+    return jnp.stack([lo_fin[o][None] for o in range(G)], axis=0)
+
+
+def fused_multibit_rotate_scan1(cfg: FusedConfig, gf: int, khi, klo,
+                                d_sing, eps, acc0_planes):
+    """ONE Pallas kernel per group step (vs the 3-kernel split): in-kernel
+    monomial chains + on-the-fly column combine + MAC + inverse + CRT.
+    Removes the msing/keh/kel HBM round trips (~65 MB/step) and two
+    launches, and keeps no [N, W, B] combined key alive (the allocator
+    pressure that forced the split).  Selected by
+    TFHE_TPU_MULTIBIT_MODE=scan1."""
+    import sys
+
+    n_groups = d_sing.shape[0]
+    B = d_sing.shape[-1]
+    per = 1 << gf
+    G, M, N = cfg.glwe_size, cfg.planes, cfg.N
+    W = cfg.levels * G * G * cfg.planes
+    P = len(cfg.primes)
+    nG = len(prime_groups(cfg))
+    tabs, consts = build_tables_stacked(cfg)
+    interp = jax.default_backend() != "tpu"
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    n_tab = 8 * nG
+
+    montabs_all, _ = build_mon_tables_allprime(cfg)
+    (p2t, p2ts, ePt, ePts, eMt, eMts) = montabs_all
+    mon_flat = [p2t, p2ts, ePt, ePts, eMt, eMts]
+    nbits = (2 * N).bit_length() - 1
+
+    def step_kernel(*refs):
+        d_ref, e_ref, kh_ref, kl_ref, acc_ref = refs[:5]
+        p2r, p2sr, ePr, ePsr, eMr, eMsr = refs[5:11]
+        tab_refs = [tuple(refs[11 + 8 * g + j] for j in range(8))
+                    for g in range(nG)]
+        consts_refs = [refs[11 + n_tab + g] for g in range(nG)]
+        out_ref = refs[11 + n_tab + nG]
+
+        def mon_at(ip):
+            return (p2r[pl.ds(ip, 1)][0], p2sr[pl.ds(ip, 1)][0],
+                    ePr[pl.ds(ip, 1)][0, 0], ePsr[pl.ds(ip, 1)][0, 0],
+                    eMr[pl.ds(ip, 1)][0, 0], eMsr[pl.ds(ip, 1)][0, 0])
+
+        def kh_at(ip):
+            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        def kl_at(ip):
+            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+
+        d_rows = [d_ref[i, 0] for i in range(gf)]
+        eps_rows = [e_ref[j] for j in range(per)]
+        out_ref[...] = _mb_step_math_onekernel(
+            cfg, gf, tab_refs, consts_refs, mon_at, kh_at, kl_at,
+            d_rows, eps_rows, acc_ref[...], B)
+
+    tabs_flat = [t for g_tabs in tabs for t in g_tabs]
+    call = pl.pallas_call(
+        step_kernel,
+        in_specs=[vm] * 5 + [vm] * 6 + [vm] * n_tab + [sm] * nG,
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((G, M, N, B), jnp.int32),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    def step(acc, xs):
+        d_row, e_row, kh, kl = xs
+        return call(d_row[:, None], e_row, kh, kl, acc, *mon_flat,
+                    *tabs_flat, *consts), None
+
+    out, _ = jax.lax.scan(step, acc0_planes, (d_sing, eps, khi, klo))
+    return out
+
+
 def _mb_mac_math(cfg: FusedConfig, tab_refs, consts_refs, keh_at, kel_at,
                  X8, Bb: int):
     """Kernel-2 math: forward NTT, sum-before-fold MAC against the
@@ -684,7 +920,12 @@ def multi_bit_blind_rotate_fused(prep: PreparedMultiBitBskFused, lut, lwe):
         e = jnp.where(e > np.int32(N), e - np.int32(2 * N), e)
         eps = eps.at[:, j].set(e)
 
+    import os
+
     acc0_planes = _to_planes(acc0, bits)
-    out_planes = fused_multibit_rotate_scan(
+    mode = os.environ.get("TFHE_TPU_MULTIBIT_MODE", "scan3")
+    rotate = (fused_multibit_rotate_scan1 if mode == "scan1"
+              else fused_multibit_rotate_scan)
+    out_planes = rotate(
         cfg, gf, prep.khi, prep.klo, d_sing, eps, acc0_planes)
     return _from_planes(out_planes, bits)[:B0]
