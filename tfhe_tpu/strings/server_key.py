@@ -549,7 +549,15 @@ class StringServerKey(SplitOps):
     def _first_matches(self, matches: ShortintBatch, reverse: bool = False
                        ) -> ShortintBatch:
         """Isolate the first (or last) set bit of a 0/1 vector."""
+        return self._first_matches_and_found(matches, reverse)[0]
+
+    def _first_matches_and_found(self, matches: ShortintBatch,
+                                 reverse: bool = False):
+        """(first-set-bit indicator vector, OR of all bits) — the found
+        flag is the prefix-OR's last element, shared for free."""
         seen = self._prefix_or(matches, reverse=reverse)
+        found = BooleanBlock(_take(seen, [0 if reverse
+                                          else len(matches) - 1]))
         # inclusive scan; shift to exclusive
         if reverse:
             before = self.integer_key._shift_blocks_down(seen, 1)
@@ -557,23 +565,23 @@ class StringServerKey(SplitOps):
             before = self.integer_key._shift_blocks_up(seen, 1)
         not_seen_blut = self.sks.generate_lookup_table_bivariate(
             lambda m, sb: int(bool(m) and not sb))
-        return self.sks.unchecked_bivariate_batch(matches, before, not_seen_blut)
+        firsts = self.sks.unchecked_bivariate_batch(matches, before,
+                                                    not_seen_blut)
+        return firsts, found
 
     def find(self, s: FheString, pattern: Pattern
              ) -> Tuple[BooleanBlock, RadixCiphertext]:
         """-> (found, index of first match) (ref: find.rs)."""
         offsets = list(range(max(s.max_len, 1)))
         matches = self._prefix_matches(s, pattern, offsets)
-        found = self._bool_fold(matches, "or")
-        firsts = self._first_matches(matches)
+        firsts, found = self._first_matches_and_found(matches)
         return found, self._weighted_index_sum(firsts)
 
     def rfind(self, s: FheString, pattern: Pattern
               ) -> Tuple[BooleanBlock, RadixCiphertext]:
         offsets = list(range(max(s.max_len, 1)))
         matches = self._prefix_matches(s, pattern, offsets)
-        found = self._bool_fold(matches, "or")
-        lasts = self._first_matches(matches, reverse=True)
+        lasts, found = self._first_matches_and_found(matches, reverse=True)
         return found, self._weighted_index_sum(lasts)
 
     # -- case mapping (ref: change_case.rs:18-82, branchless +-32) ----
