@@ -145,10 +145,13 @@ def bench_integer(real: bool):
     rng = np.random.default_rng(5)
     av = encrypt_batch_radix(icks, rng.integers(0, 2**32, B).tolist(), 16)
     bv = encrypt_batch_radix(icks, rng.integers(0, 2**32, B).tolist(), 16)
+    import jax
+
+    # the wave path returns async device arrays — block for honest timing
     for opname, fn, baseline_s in [
-        ("add", lambda: ops.add(av, bv), 132e-3),
-        ("eq", lambda: ops.eq(av, bv), 57.4e-3),
-        ("mul", lambda: ops.mul(av, bv), 333e-3),
+        ("add", lambda: jax.block_until_ready(ops.add(av, bv)), 132e-3),
+        ("eq", lambda: jax.block_until_ready(ops.eq(av, bv)), 57.4e-3),
+        ("mul", lambda: jax.block_until_ready(ops.mul(av, bv)), 333e-3),
     ]:
         dt = _time(fn, iters=1)
         _record(f"fheuint32_{opname}_batch{B}::{params.name}", B / dt,
@@ -183,15 +186,19 @@ def bench_strings(real: bool):
     from tfhe_tpu.strings.batched import (BatchedStringOps,
                                           encrypt_batch_strings)
 
+    import jax
+
     bops = BatchedStringOps(sks.sks)
     B = 64 if real else 4
     texts = (["hello world", "hello_worxd"] * B)[:B]
     blocks = encrypt_batch_strings(cks, texts, 11)
-    dt = _time(lambda: bops.contains(blocks, "world"), iters=2)
+    dt = _time(lambda: jax.block_until_ready(bops.contains(blocks, "world")),
+               iters=2)
     _record(f"strings_contains_batch{B}::{tag}", B / dt, "ops/s",
             baseline_ms=None, batch=B, per_op_ms=round(dt / B * 1e3, 2),
             baseline_rate=1000.0 / 78.6)
-    dt = _time(lambda: bops.find(blocks, "world"), iters=2)
+    dt = _time(lambda: jax.block_until_ready(bops.find(blocks, "world")[1]),
+               iters=2)
     _record(f"strings_find_batch{B}::{tag}", B / dt, "ops/s",
             batch=B, per_op_ms=round(dt / B * 1e3, 2),
             baseline_rate=1000.0 / 78.6)
