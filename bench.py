@@ -65,6 +65,9 @@ def _measure(params, batch: int, iters: int, platform: str):
     for _ in range(iters):
         out = fn(sks.ksk, sks.bsk, lut.acc, data)
     out = jax.block_until_ready(out)
+    # block_until_ready has been observed returning early for some axon
+    # array types; a one-element fetch is the reliable completion barrier
+    np.asarray(out[:1, :1])
     elapsed = time.time() - t0
     pbs_per_s = batch * iters / elapsed
 
