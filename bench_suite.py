@@ -286,8 +286,11 @@ def bench_multibit(real: bool):
 def main():
     real = bool(os.environ.get("BENCH_REAL"))
     families = {
-        "strings": bench_strings,
+        # keygen first: fresh-keygen time measured after heavy device work
+        # in the same process reads up to 8x slower (allocator/compile
+        # state, not keygen code — round-5 postmortem)
         "keygen": bench_keygen,
+        "strings": bench_strings,
         "pbs_throughput": bench_pbs_throughput,
         "multibit": bench_multibit,
         "boolean": bench_boolean,

@@ -188,7 +188,8 @@ def _check_mb_bounds(cfg: FusedConfig, gf: int):
         assert lo_comb < cap, "multi-bit combine lo sum exceeds fold bound"
         keff = p // 2 + (lo_comb >> 22) + 1
         khie = (keff + 128) // 256 + 1
-        smag = p // 2 + p // 512
+        # spec drift margin matches the lazy horner (p//64, fused_pbs)
+        smag = p // 2 + p // 64
         assert LJ * smag * khie < cap, "multi-bit MAC hi sum exceeds bound"
         assert smag * 256 + LJ * smag * 128 < cap
 

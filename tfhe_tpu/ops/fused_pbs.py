@@ -1721,17 +1721,26 @@ def _blind_rotate_fused_chunk(bsk: PreparedBskFused, lut, lwe):
     return _from_planes(out_planes, bits)
 
 
-def _batch_chunk_max() -> int:
-    """Per-kernel batch ceiling.  The kernel's VMEM working set scales with
-    B; B=128 is the measured v5e sweet spot (B=256 in one kernel ran at
-    349 vs 421 PBS/s from VMEM spills — PERF_NOTES.md round 4), so larger
-    batches run as a lax.map over 128-wide chunks: throughput scales
-    linearly and the compiled program holds ONE copy of the step kernel
-    regardless of batch (this is also what un-wedged the batch-64 radix
-    and batched-strings compiles, BENCH_SUITE_r04.json:20)."""
+def _batch_chunk_max(cfg: FusedConfig) -> int:
+    """Per-kernel batch ceiling, scaled to the kernel's VMEM footprint.
+
+    The working set scales with G*M*N bytes per batch lane; B=128 is the
+    measured v5e sweet spot at 2_2 shapes (64 KB/lane — B=256 in one
+    kernel ran at 349 vs 421 PBS/s from VMEM spills, PERF_NOTES.md), so
+    the ceiling holds the accumulator budget at 128 lanes x 64 KB and
+    widens for smaller parameter sets (boolean's 8 KB/lane kernels ran
+    BEST at B=1024 in one kernel, BENCH_SUITE_r04).  Larger batches run
+    as a lax.map over ceiling-wide chunks: throughput scales linearly
+    and the compiled program holds ONE copy of the step kernel at any
+    batch (this un-wedged the batch-64 radix and batched-strings
+    compiles, BENCH_SUITE_r04.json:20)."""
     import os
 
-    return int(os.environ.get("TFHE_TPU_PBS_BMAX", 128))
+    env = os.environ.get("TFHE_TPU_PBS_BMAX")
+    if env:
+        return int(env)
+    lane_bytes = cfg.glwe_size * cfg.planes * cfg.N * 4
+    return 128 * max(1, min(8, 65536 // lane_bytes))
 
 
 def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
@@ -1760,7 +1769,7 @@ def blind_rotate_fused(bsk: PreparedBskFused, lut, lwe):
         lut = jnp.concatenate(
             [lut, jnp.broadcast_to(lut[:1], (B - B0,) + lut.shape[1:])])
 
-    bmax = _batch_chunk_max()
+    bmax = _batch_chunk_max(cfg)
     if B > bmax and B % bmax == 0:
         k = B // bmax
         lut_c = lut.reshape((k, bmax) + lut.shape[1:])
