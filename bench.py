@@ -148,7 +148,7 @@ def main() -> None:
         try:
             batch = int(os.environ.get("BENCH_BATCH", 128))
             box["classic"] = _measure(
-                PARAM_MESSAGE_2_CARRY_2_KS_PBS, batch, 3, platform)
+                PARAM_MESSAGE_2_CARRY_2_KS_PBS, batch, 8, platform)
             if os.environ.get("BENCH_SKIP_MULTIBIT") != "1":
                 from tfhe_tpu.params import (
                     PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS,
