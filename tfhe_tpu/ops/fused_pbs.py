@@ -798,7 +798,11 @@ def _inverse_prime_t(macc, W2I8, W1I8, TIC, TICsh, nl: int, nlx: int,
 
 
 def _ds0(ref, i):
-    """ref[i] with a traced leading index (dynamic slice + squeeze)."""
+    """ref[i] with a traced leading index (dynamic slice + squeeze);
+    static python/numpy ints index directly (the unrolled prime loops
+    feed concrete indices — raw np scalars crash pl.ds on TPU)."""
+    if isinstance(i, (int, np.integer)):
+        return ref[int(i)]
     return ref[pl.ds(i, 1)][0]
 
 
@@ -986,10 +990,10 @@ def fused_blind_rotate_scan1w(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
         x8 = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
 
         def kh_at(ip):
-            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kh_ref, ip).astype(jnp.int32)
 
         def kl_at(ip):
-            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kl_ref, ip).astype(jnp.int32)
 
         out_ref[...] = _primes_crt_math_wide(
             cfg, tab_refs, consts_refs, kh_at, kl_at, x8, acc_ref[...], B)
@@ -1046,6 +1050,20 @@ def _make_grid_kernel(cfg: FusedConfig, n_steps: int, Bb: int):
             out_ref[0] = acc_ref[...]
 
     return kernel
+
+
+def _prime_unroll() -> int:
+    """Unroll factor for the in-kernel prime-group scans.  Mosaic's scan
+    lowering costs ~15-20 us PER ITERATION (measured round 4 on the
+    multi-bit chains; the classic pc kernel's 5 prime iterations account
+    for the ~84 us/step the stage ablation could not attribute).
+    Unrolling trades first-compile time (~20 min per new shape through
+    the remote compiler, then persistent-cached) for ~60 us/step: 480 ->
+    535 PBS/s at 2_2 B=128.  Default ON; set TFHE_TPU_PRIME_UNROLL=0 for
+    the plain scans when iterating on uncached shapes."""
+    import os
+
+    return int(os.environ.get("TFHE_TPU_PRIME_UNROLL", 1))
 
 
 def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
@@ -1152,9 +1170,15 @@ def _primes_crt_math(cfg: FusedConfig, tab_refs, consts_refs, kh_at, kl_at,
             gip, state = carry
             return (gip + np.int32(1), body(gip, state)), None
 
-        (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
-            scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
-            length=len(idx))
+        if _prime_unroll():
+            state = (lo_s, hi_s, af)
+            for gi in range(len(idx)):
+                state = body(gi, state)   # concrete index: static slices
+            lo_s, hi_s, af = state
+        else:
+            (_, (lo_s, hi_s, af)), _ = jax.lax.scan(
+                scan_body, (np.int32(0), (lo_s, hi_s, af)), None,
+                length=len(idx))
         offset += len(idx)
 
     if "crt" in ABLATE:
@@ -1225,10 +1249,10 @@ def fused_blind_rotate_scan2(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
         out_ref = refs[4 + n_tab + nG]
 
         def kh_at(ip):
-            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kh_ref, ip).astype(jnp.int32)
 
         def kl_at(ip):
-            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kl_ref, ip).astype(jnp.int32)
 
         out_ref[...] = _primes_crt_math(
             cfg, tab_refs, consts_refs, kh_at, kl_at, x8_ref[...],
@@ -1287,10 +1311,10 @@ def fused_blind_rotate_scan1(cfg: FusedConfig, khi, klo, ahat, acc0_planes):
         x8 = _rot_dec_limbs(cfg, acc_ref[...], abit, B)
 
         def kh_at(ip):
-            return kh_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kh_ref, ip).astype(jnp.int32)
 
         def kl_at(ip):
-            return kl_ref[pl.ds(ip, 1)][0].astype(jnp.int32)
+            return _ds0(kl_ref, ip).astype(jnp.int32)
 
         out_ref[...] = _primes_crt_math(
             cfg, tab_refs, consts_refs, kh_at, kl_at, x8, acc_ref[...], B)
