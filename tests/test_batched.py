@@ -36,6 +36,23 @@ def test_batched_add_sub_neg(keys):
     assert decrypt_batch_radix(icks, ops.neg(a)) == [(-x) % mod for x in av]
 
 
+def test_batched_add_ripple(keys):
+    icks, ops = keys
+    mod = 4 ** NB
+    rng = np.random.default_rng(3)
+    av = rng.integers(0, mod, 5).tolist()
+    bv = rng.integers(0, mod, 5).tolist()
+    # include max-carry chains (all-blocks-propagate) explicitly
+    av += [mod - 1, mod - 1]
+    bv += [1, mod - 1]
+    a, b = _enc(icks, av), _enc(icks, bv)
+    import jax.numpy as jnp
+
+    out = ops._propagate_ripple(jnp.asarray(a) + jnp.asarray(b))
+    assert decrypt_batch_radix(icks, out) == [
+        (x + y) % mod for x, y in zip(av, bv)]
+
+
 def test_batched_mul(keys):
     icks, ops = keys
     mod = 4 ** NB

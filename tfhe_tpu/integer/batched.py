@@ -24,6 +24,8 @@ Reference schedules mirrored:
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,10 +78,36 @@ class BatchedRadixOps:
         zeros = jnp.zeros((x.shape[0], min(d, nb), x.shape[2]), x.dtype)
         return jnp.concatenate([zeros, x[:, :max(nb - d, 0)]], axis=1)
 
-    def _propagate(self, s):
-        """Clean up [B, nb, sz] blocks holding degree <= 2*msg-1 sums."""
+    def _propagate(self, s, mode: str | None = None):
+        """Clean up [B, nb, sz] blocks holding degree <= 2*msg-1 sums.
+
+        Two schedules (ref: radix_parallel/add.rs:518-603 for the scan):
+
+        - "scan": Hillis-Steele over 3-state blocks — depth 3+log2(nb)
+          waves, each nb*B wide.  Best latency; PBS work is
+          (3+log2 nb) per block.
+        - "ripple": sequential carry chain — 1 carry PBS per block
+          (width B) plus one final nb*B-wide message extract.  ~2 PBS
+          per block total vs 7 at nb=16, so it wins whenever the op is
+          PBS-THROUGHPUT-bound (batched ops); loses on single-op
+          latency (depth nb).
+
+        "auto" picks by a device cost model (kernel chunks are 128
+        lanes at ~0.24 s each + ~0.03 s dispatch per wave call).
+        """
         msg = self.msg
         nb = s.shape[1]
+        B = s.shape[0]
+        mode = mode or os.environ.get("TFHE_TPU_CARRY_MODE", "auto")
+        if mode == "auto":
+            chunks = lambda w: -(-w // 128)
+            ripple_cost = ((nb - 1) * (0.03 + 0.24 * chunks(B))
+                           + 0.03 + 0.24 * chunks(B * nb))
+            scan_cost = ((3 + max(1, (nb - 1).bit_length()))
+                         * (0.03 + 0.24 * chunks(B * nb)))
+            mode = "ripple" if ripple_cost < scan_cost else "scan"
+        if mode == "ripple":
+            return self._propagate_ripple(s)
         state = self._wave(
             s, "state",
             lambda v: 2 if v >= msg else (1 if v == msg - 1 else 0))
@@ -95,6 +123,26 @@ class BatchedRadixOps:
         carries = self._wave(state, "carry", lambda v: 1 if v == 2 else 0)
         return self._wave(s + self._shift_up(carries, 1), "msgext",
                           lambda v: v % msg)
+
+    def _propagate_ripple(self, s):
+        """Serial carry chain: carry_i = LUT(s_i + carry_{i-1}) >= msg.
+
+        Inputs s_i are sums of two clean blocks (degree <= 2*msg-2); with
+        the 0/1 carry the LUT argument stays < 2*msg <= msg*carry_mod and
+        the noise level is 3 fresh blocks <= max_noise_level (2_2: 5)."""
+        msg = self.msg
+        nb = s.shape[1]
+        if nb == 1:
+            return self._wave(s, "msgext", lambda v: v % msg)
+        carry_lut = ("rcarry", lambda v: 1 if v >= msg else 0)
+        carry = self._wave(s[:, 0], *carry_lut)
+        carries = [carry]
+        for i in range(1, nb - 1):
+            carry = self._wave(s[:, i] + carry, *carry_lut)
+            carries.append(carry)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(s[:, :1]), jnp.stack(carries, axis=1)], axis=1)
+        return self._wave(s + shifted, "msgext", lambda v: v % msg)
 
     # -- public ops --------------------------------------------------------
 
