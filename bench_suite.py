@@ -116,14 +116,15 @@ def bench_integer(real: bool):
     api.set_server_key(sks)
     a = api.FheUint32.encrypt(123456789, cks)
     b = api.FheUint32.encrypt(987654, cks)
-    for opname, fn, baseline in [
+    singles = [] if os.environ.get("BENCH_SKIP_SINGLE") else [
         ("add", lambda: a + b, 132.0),
         ("mul", lambda: a * b, 333.0),
         ("eq", lambda: a.eq(b), 57.4),
         ("ge", lambda: a.ge(b), 98.8),
         ("bitand", lambda: a & b, 21.0),
         ("shl4", lambda: a << 4, 180.0),
-    ]:
+    ]
+    for opname, fn, baseline in singles:
         dt = _time(fn, iters=2)
         _record(f"fheuint32_{opname}::{params.name}", dt * 1e3, "ms",
                 baseline_ms=baseline)
