@@ -150,9 +150,11 @@ def bench_integer(real: bool):
 
     # the wave path returns async device arrays — block for honest timing
     for opname, fn, baseline_s in [
-        ("add", lambda: jax.block_until_ready(ops.add(av, bv)), 132e-3),
-        ("eq", lambda: jax.block_until_ready(ops.eq(av, bv)), 57.4e-3),
-        ("mul", lambda: jax.block_until_ready(ops.mul(av, bv)), 333e-3),
+        # one-element fetch: block_until_ready can return early on axon
+        # array types (PERF_NOTES.md) — a sync fetch is the real barrier
+        ("add", lambda: np.asarray(ops.add(av, bv)[:1, :1, :1]), 132e-3),
+        ("eq", lambda: np.asarray(ops.eq(av, bv)[:1, :1]), 57.4e-3),
+        ("mul", lambda: np.asarray(ops.mul(av, bv)[:1, :1, :1]), 333e-3),
     ]:
         dt = _time(fn, iters=1)
         _record(f"fheuint32_{opname}_batch{B}::{params.name}", B / dt,
@@ -193,12 +195,12 @@ def bench_strings(real: bool):
     B = 64 if real else 4
     texts = (["hello world", "hello_worxd"] * B)[:B]
     blocks = encrypt_batch_strings(cks, texts, 11)
-    dt = _time(lambda: jax.block_until_ready(bops.contains(blocks, "world")),
+    dt = _time(lambda: np.asarray(bops.contains(blocks, "world")[:1, :1]),
                iters=2)
     _record(f"strings_contains_batch{B}::{tag}", B / dt, "ops/s",
             baseline_ms=None, batch=B, per_op_ms=round(dt / B * 1e3, 2),
             baseline_rate=1000.0 / 78.6)
-    dt = _time(lambda: jax.block_until_ready(bops.find(blocks, "world")[1]),
+    dt = _time(lambda: np.asarray(bops.find(blocks, "world")[1][:1, :1, :1]),
                iters=2)
     _record(f"strings_find_batch{B}::{tag}", B / dt, "ops/s",
             batch=B, per_op_ms=round(dt / B * 1e3, 2),
